@@ -1,0 +1,311 @@
+"""Discrete wavelet transforms, TPU-first.
+
+The reference implements DWT/IDWT as banded analysis matrices rebuilt in numpy
+on *every forward call* and multiplied on the device
+(`/root/reference/DWT_IDWT/DWT_IDWT_layer.py:270-334`, with hand-written
+autograd in `DWT_IDWT_Functions.py`). Only `DWT_2D("haar")` / `IDWT_2D("haar")`
+are on the active model path (`GeneralModel/Hyper_unet_general.py:363-364`).
+
+Here the Haar transform is a pure reshape + add/sub butterfly — no matrices,
+no gathers, fully fuseable by XLA, exact for even sizes — and the generic
+matrix formulation (any even-length filter bank) is kept as a parity/fallback
+path with matrices built once at trace time. Backward passes come from JAX
+autodiff (the transform is linear, so the VJP is the adjoint transform).
+
+Conventions (pinned against the reference):
+  * `dwt2d` consumes channels-last images `(..., H, W, C)` and returns
+    `(LL, LH, HL, HH)`, each `(..., H/2, W/2, C)`.
+  * With the orthonormal Haar bank, writing a=x[2i,2j], b=x[2i,2j+1],
+    c=x[2i+1,2j], d=x[2i+1,2j+1]:
+        LL = (a+b+c+d)/2     LH = (a-b+c-d)/2   (width / horizontal detail)
+        HL = (a+b-c-d)/2     HH = (a-b-c+d)/2
+    NOTE the subband naming follows the reference *code*, not its docstring:
+    `DWTFunction_2D.forward` (`DWT_IDWT_Functions.py:47-58`) computes
+    LH = (L·X)·H₁ (low rows, high columns) and HL = (H·X)·L₁, with L rows
+    [r, r] and H rows [r, -r], r = 1/√2.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_R2 = 1.0 / math.sqrt(2.0)
+
+# Filter banks: (dec_lo, dec_hi, rec_lo, rec_hi), pywt sign/order conventions.
+# The values are standard published wavelet coefficients (constants, not code).
+_D2 = math.sqrt(2.0)
+_DB2_LO = np.array(
+    [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025]
+)
+_DB3_LO = np.array(
+    [
+        0.035226291882100656,
+        -0.08544127388224149,
+        -0.13501102001039084,
+        0.4598775021193313,
+        0.8068915093133388,
+        0.3326705529509569,
+    ]
+)
+
+
+def _qmf(w: np.ndarray) -> np.ndarray:
+    """Quadrature-mirror filter (pywt convention): qmf(w)[k] = (-1)^k · w[n-1-k]."""
+    n = len(w)
+    return np.array([(-1) ** k * w[n - 1 - k] for k in range(n)])
+
+
+def _bank(dec_lo: np.ndarray) -> dict:
+    """Derive the full 4-filter bank from the decomposition low-pass,
+    matching pywt's orthogonal-wavelet conventions."""
+    dec_lo = np.asarray(dec_lo, dtype=np.float64)
+    rec_lo = dec_lo[::-1].copy()
+    rec_hi = _qmf(rec_lo)
+    dec_hi = rec_hi[::-1].copy()
+    return {"dec_lo": dec_lo, "dec_hi": dec_hi, "rec_lo": rec_lo, "rec_hi": rec_hi}
+
+
+FILTER_BANKS: dict[str, dict] = {
+    "haar": _bank(np.array([_R2, _R2])),
+    "db1": _bank(np.array([_R2, _R2])),
+    "db2": _bank(_DB2_LO),
+    "db3": _bank(_DB3_LO),
+}
+
+
+def available_wavelets() -> list[str]:
+    return sorted(FILTER_BANKS.keys())
+
+
+def get_bank(wavelet: str) -> dict:
+    try:
+        return FILTER_BANKS[wavelet]
+    except KeyError:
+        raise ValueError(
+            f"unknown wavelet {wavelet!r}; available: {available_wavelets()}"
+        ) from None
+
+
+# ---------------------------------------------------------------------------
+# Matrix construction — replicates the reference banded-matrix semantics
+# (`DWT_IDWT_layer.py:270-319` for analysis, `:362-410` for synthesis) so the
+# generic path is numerically identical, including odd-size truncation.
+# ---------------------------------------------------------------------------
+
+
+def _banded(n_rows: int, n_full: int, band: np.ndarray) -> np.ndarray:
+    m = np.zeros((n_rows, n_full + len(band) - 2))
+    for i in range(n_rows):
+        # Clip at the right edge: the reference's construction never hits this
+        # for the even sizes it supports; clipping extends odd-size support.
+        avail = min(len(band), m.shape[1] - 2 * i)
+        m[i, 2 * i : 2 * i + avail] = band[:avail]
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def analysis_matrices(size: int, wavelet: str = "haar"):
+    """(L, H): analysis operators, shapes (size//2, size) and (size - size//2, size).
+
+    The reference uses the *reconstruction* filters for analysis
+    (`DWT_2D.__init__`, `DWT_IDWT_layer.py:262-264`); we keep that convention.
+    """
+    bank = get_bank(wavelet)
+    band_lo, band_hi = bank["rec_lo"], bank["rec_hi"]
+    length = len(band_lo)
+    half = length // 2
+    end = None if half == 1 else (-half + 1)
+    lo = _banded(size // 2, size, band_lo)[:, half - 1 : end]
+    hi = _banded(size - size // 2, size, band_hi)[:, half - 1 : end]
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def synthesis_matrices(size: int, wavelet: str = "haar"):
+    """(L, H) synthesis operators; reference uses reversed decomposition filters
+    (`IDWT_2D.__init__`, `DWT_IDWT_layer.py:352-356`)."""
+    bank = get_bank(wavelet)
+    band_lo = bank["dec_lo"][::-1]
+    band_hi = bank["dec_hi"][::-1]
+    length = len(band_lo)
+    half = length // 2
+    end = None if half == 1 else (-half + 1)
+    lo = _banded(size // 2, size, band_lo)[:, half - 1 : end]
+    hi = _banded(size - size // 2, size, band_hi)[:, half - 1 : end]
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Fast Haar path: reshape butterfly over (..., H, W, C).
+# ---------------------------------------------------------------------------
+
+
+def _haar_dwt2d(x: jax.Array):
+    *lead, h, w, c = x.shape
+    r = x.reshape(*lead, h // 2, 2, w // 2, 2, c)
+    a = r[..., 0, :, 0, :]
+    b = r[..., 0, :, 1, :]
+    cc = r[..., 1, :, 0, :]
+    d = r[..., 1, :, 1, :]
+    ll = (a + b + cc + d) * 0.5
+    lh = (a - b + cc - d) * 0.5
+    hl = (a + b - cc - d) * 0.5
+    hh = (a - b - cc + d) * 0.5
+    return ll, lh, hl, hh
+
+
+def _haar_idwt2d(ll, lh, hl, hh):
+    *lead, h2, w2, c = ll.shape
+    a = (ll + lh + hl + hh) * 0.5
+    b = (ll - lh + hl - hh) * 0.5
+    cc = (ll + lh - hl - hh) * 0.5
+    d = (ll - lh - hl + hh) * 0.5
+    row0 = jnp.stack([a, b], axis=-2)  # (..., h2, w2, 2, c)
+    row1 = jnp.stack([cc, d], axis=-2)
+    out = jnp.stack([row0, row1], axis=-4)  # (..., h2, 2, w2, 2, c)
+    return out.reshape(*lead, h2 * 2, w2 * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# Generic matrix path (even-length filters; handles odd sizes like the
+# reference truncation does).
+# ---------------------------------------------------------------------------
+
+
+def _matrix_dwt2d(x: jax.Array, wavelet: str):
+    h, w = x.shape[-3], x.shape[-2]
+    lo_h, hi_h = analysis_matrices(h, wavelet)
+    lo_w, hi_w = analysis_matrices(w, wavelet)
+    lo_h = jnp.asarray(lo_h, x.dtype)
+    hi_h = jnp.asarray(hi_h, x.dtype)
+    lo_w = jnp.asarray(lo_w, x.dtype)
+    hi_w = jnp.asarray(hi_w, x.dtype)
+
+    def rows(m, arr):
+        return jnp.einsum("ph,...hwc->...pwc", m, arr)
+
+    def cols(arr, m):
+        return jnp.einsum("...hwc,qw->...hqc", arr, m)
+
+    xl = rows(lo_h, x)
+    xh = rows(hi_h, x)
+    # Reference code order (DWT_IDWT_Functions.py:47-58): LH = low rows × high
+    # cols (width detail), HL = high rows × low cols (height detail).
+    return cols(xl, lo_w), cols(xl, hi_w), cols(xh, lo_w), cols(xh, hi_w)
+
+
+def _matrix_idwt2d(ll, lh, hl, hh, wavelet: str, out_h: int, out_w: int):
+    lo_h, hi_h = synthesis_matrices(out_h, wavelet)
+    lo_w, hi_w = synthesis_matrices(out_w, wavelet)
+    lo_h = jnp.asarray(lo_h, ll.dtype)
+    hi_h = jnp.asarray(hi_h, ll.dtype)
+    lo_w = jnp.asarray(lo_w, ll.dtype)
+    hi_w = jnp.asarray(hi_w, ll.dtype)
+
+    def up(arr, mh, mw):
+        arr = jnp.einsum("ph,...pwc->...hwc", mh, arr)
+        return jnp.einsum("...hqc,qw->...hwc", arr, mw)
+
+    return up(ll, lo_h, lo_w) + up(lh, lo_h, hi_w) + up(hl, hi_h, lo_w) + up(hh, hi_h, hi_w)
+
+
+# ---------------------------------------------------------------------------
+# Public 2D API
+# ---------------------------------------------------------------------------
+
+
+def dwt2d(x: jax.Array, wavelet: str = "haar", impl: str = "auto"):
+    """2-D DWT over (..., H, W, C) → (LL, LH, HL, HH), each (..., H/2, W/2, C)."""
+    h, w = x.shape[-3], x.shape[-2]
+    use_fast = wavelet in ("haar", "db1") and h % 2 == 0 and w % 2 == 0
+    if impl == "matrix" or (impl == "auto" and not use_fast):
+        return _matrix_dwt2d(x, wavelet)
+    if not use_fast:
+        raise ValueError(f"fast impl needs haar + even sizes, got {wavelet} {h}x{w}")
+    return _haar_dwt2d(x)
+
+
+def idwt2d(ll, lh, hl, hh, wavelet: str = "haar", impl: str = "auto"):
+    """Inverse 2-D DWT; exact reconstruction partner of :func:`dwt2d`."""
+    out_h = ll.shape[-3] + hh.shape[-3]
+    out_w = ll.shape[-2] + hh.shape[-2]
+    use_fast = wavelet in ("haar", "db1") and out_h % 2 == 0 and out_w % 2 == 0
+    if impl == "matrix" or (impl == "auto" and not use_fast):
+        return _matrix_idwt2d(ll, lh, hl, hh, wavelet, out_h, out_w)
+    if not use_fast:
+        raise ValueError("fast impl needs haar + even sizes")
+    return _haar_idwt2d(ll, lh, hl, hh)
+
+
+def dwt2d_ll(x: jax.Array, wavelet: str = "haar"):
+    """Low-frequency component only (reference `DWT_2D_tiny`,
+    `DWT_IDWT_layer.py:155-244`)."""
+    return dwt2d(x, wavelet)[0]
+
+
+# ---------------------------------------------------------------------------
+# 1-D and 3-D variants (library parity with DWT_1D/3D, IDWT_1D/3D —
+# `DWT_IDWT_layer.py:22-153, 433-667`). Channels-last: 1-D transforms the
+# second-to-last axis; 3-D transforms (..., D, H, W, C).
+# ---------------------------------------------------------------------------
+
+
+def dwt1d(x: jax.Array, wavelet: str = "haar"):
+    n = x.shape[-2]
+    lo, hi = analysis_matrices(n, wavelet)
+    lo = jnp.asarray(lo, x.dtype)
+    hi = jnp.asarray(hi, x.dtype)
+    return (
+        jnp.einsum("pl,...lc->...pc", lo, x),
+        jnp.einsum("pl,...lc->...pc", hi, x),
+    )
+
+
+def idwt1d(lo_part: jax.Array, hi_part: jax.Array, wavelet: str = "haar"):
+    n = lo_part.shape[-2] + hi_part.shape[-2]
+    lo, hi = synthesis_matrices(n, wavelet)
+    lo = jnp.asarray(lo, lo_part.dtype)
+    hi = jnp.asarray(hi, lo_part.dtype)
+    return jnp.einsum("pl,...pc->...lc", lo, lo_part) + jnp.einsum(
+        "pl,...pc->...lc", hi, hi_part
+    )
+
+
+def dwt3d(x: jax.Array, wavelet: str = "haar"):
+    """3-D DWT over (..., D, H, W, C) → dict of 8 subbands keyed 'lll'..'hhh'
+    (depth, height, width order)."""
+
+    def split_axis(arr, axis):
+        moved = jnp.moveaxis(arr, axis, -2)
+        lo, hi = dwt1d(moved, wavelet)
+        return jnp.moveaxis(lo, -2, axis), jnp.moveaxis(hi, -2, axis)
+
+    out = {"": x}
+    for axis in (-4, -3, -2):
+        nxt = {}
+        for key, arr in out.items():
+            lo, hi = split_axis(arr, axis)
+            nxt[key + "l"] = lo
+            nxt[key + "h"] = hi
+        out = nxt
+    return out
+
+
+def idwt3d(subbands: dict, wavelet: str = "haar"):
+    def merge_axis(lo, hi, axis):
+        lo_m = jnp.moveaxis(lo, axis, -2)
+        hi_m = jnp.moveaxis(hi, axis, -2)
+        return jnp.moveaxis(idwt1d(lo_m, hi_m, wavelet), -2, axis)
+
+    out = dict(subbands)
+    for pos, axis in ((2, -2), (1, -3), (0, -4)):
+        nxt = {}
+        keys = {k[:pos] for k in out}
+        for key in keys:
+            nxt[key] = merge_axis(out[key + "l"], out[key + "h"], axis)
+        out = nxt
+    return out[""]
