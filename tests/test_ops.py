@@ -1,0 +1,44 @@
+"""Op-level golden tests: gamma embedding, modulated conv identity."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from tmdiff_tpu.ops.embedding import gamma_embedding
+from tmdiff_tpu.ops.modconv import conv3d, modulated_conv3d
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_gamma_embedding_golden():
+    g = np.load(os.path.join(GOLDEN, "gamma_embedding.npz"))
+    t = jnp.asarray(g["t"])
+    np.testing.assert_allclose(gamma_embedding(t, 32), g["dim32"], atol=1e-5)
+    np.testing.assert_allclose(gamma_embedding(t, 31), g["dim31"], atol=1e-5)
+
+
+def test_modulated_conv_golden():
+    """The activation-scaling identity must reproduce the reference's
+    batch-grouped modulated conv exactly (SURVEY.md 'hard parts')."""
+    g = np.load(os.path.join(GOLDEN, "modulated_conv.npz"))
+    # torch layouts: x (B, Cin, D, H, W), w (Cout, Cin, kd, kh, kw), y likewise.
+    x = jnp.asarray(np.moveaxis(g["x"], 1, -1))  # (B, D, H, W, Cin)
+    w = jnp.asarray(np.transpose(g["w"], (2, 3, 4, 1, 0)))  # (kd,kh,kw,Cin,Cout)
+    s = jnp.asarray(g["s"])
+    y = modulated_conv3d(x, w, s)
+    ref = np.moveaxis(g["y"], 1, -1)
+    np.testing.assert_allclose(y, ref, atol=2e-4)
+
+
+def test_modulated_equals_scaling(rng):
+    """Direct check: conv(x*s, w) == per-sample-weight conv."""
+    x = jnp.asarray(rng.standard_normal((3, 4, 8, 8, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 6, 5)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((3, 6)), jnp.float32)
+    fused = modulated_conv3d(x, w, s)
+    # Naive per-sample loop with materialised modulated weights.
+    outs = [
+        conv3d(x[b : b + 1], w * s[b][None, None, None, :, None])
+        for b in range(3)
+    ]
+    np.testing.assert_allclose(fused, jnp.concatenate(outs, 0), atol=1e-4)

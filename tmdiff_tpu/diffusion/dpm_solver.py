@@ -1,0 +1,616 @@
+"""DPM-Solver / DPM-Solver++ for JAX, built scan-first for XLA.
+
+Re-derivation of the solver subset exercised by the reference
+(`/root/reference/GeneralModel/diffusion_general.py:227-335` driving the
+vendored official implementation in `core/dpm_solver_pytorch.py`):
+
+  * discrete-schedule `NoiseScheduleVP` (piecewise-linear log ᾱ ↔ t ↔ λ),
+  * model types noise / x_start / v / score, uncond + classifier-free
+    guidance (`model_wrapper`, `dpm_solver_pytorch.py:184-348`),
+  * algorithm types dpmsolver++ (data prediction) and dpmsolver (noise
+    prediction), solver types 'dpmsolver' and 'taylor',
+  * singlestep orders 1-3 (DPM-Solver-fast order schedule,
+    `:497-555, 1259-1279`), multistep orders 1-3 with `lower_order_final`
+    (`:1215-1258`), singlestep_fixed, denoise-to-zero, dynamic thresholding
+    (quantile 0.995, `:430-439`).
+
+TPU-first structure: every time grid, λ value and update coefficient is a
+*static* numpy scalar computed at trace time — the compiled program contains
+only model evaluations and fused linear combinations. Uniform-order runs of
+steps execute as `lax.scan` over stacked coefficient tables (one compiled
+body regardless of step count); the short warm-up/tail ramps are unrolled.
+
+Exact-arithmetic shortcut: for an x_start model under dpmsolver++ the
+noise-conversion round-trip (x0 → ε̂ → x0) cancels algebraically; we skip it
+to avoid catastrophic cancellation as σ_t → 0 (the reference composes
+`model_wrapper` x_start→noise with `data_prediction_fn` noise→x0,
+`dpm_solver_pytorch.py:296-312, 447-456`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NoiseScheduleVP:
+    """VP-SDE noise schedule in continuous time t ∈ (0, T].
+
+    Discrete mode: log ᾱ(t) is the piecewise-linear interpolant of
+    0.5·log(ᾱ_i) over t_i = (i+1)/N (`dpm_solver_pytorch.py:99-106`).
+    All math is float64 numpy — these run at trace time only.
+    """
+
+    def __init__(self, schedule: str = "discrete", betas: Optional[np.ndarray] = None,
+                 continuous_beta_0: float = 0.1, continuous_beta_1: float = 20.0):
+        self.schedule = schedule
+        if schedule == "discrete":
+            assert betas is not None
+            betas = np.asarray(betas, dtype=np.float64)
+            log_alphas = 0.5 * np.cumsum(np.log(1.0 - betas))
+            self.total_N = len(log_alphas)
+            self.T = 1.0
+            self.t_array = np.linspace(0.0, 1.0, self.total_N + 1)[1:]
+            self.log_alpha_array = log_alphas
+        elif schedule == "linear":
+            self.total_N = 1000
+            self.T = 1.0
+            self.beta_0 = continuous_beta_0
+            self.beta_1 = continuous_beta_1
+        else:
+            raise NotImplementedError(schedule)
+
+    def marginal_log_mean_coeff(self, t):
+        t = np.asarray(t, dtype=np.float64)
+        if self.schedule == "discrete":
+            return np.interp(t, self.t_array, self.log_alpha_array)
+        return -0.25 * t**2 * (self.beta_1 - self.beta_0) - 0.5 * t * self.beta_0
+
+    def marginal_alpha(self, t):
+        return np.exp(self.marginal_log_mean_coeff(t))
+
+    def marginal_std(self, t):
+        return np.sqrt(1.0 - np.exp(2.0 * self.marginal_log_mean_coeff(t)))
+
+    def marginal_lambda(self, t):
+        log_mean = self.marginal_log_mean_coeff(t)
+        return log_mean - 0.5 * np.log(1.0 - np.exp(2.0 * log_mean))
+
+    def inverse_lambda(self, lamb):
+        lamb = np.asarray(lamb, dtype=np.float64)
+        if self.schedule == "discrete":
+            log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * lamb)
+            # log_alpha_array decreases with t; reverse for np.interp.
+            return np.interp(
+                log_alpha, self.log_alpha_array[::-1], self.t_array[::-1]
+            )
+        tmp = 2.0 * (self.beta_1 - self.beta_0) * np.logaddexp(-2.0 * lamb, 0.0)
+        return (
+            2.0 * tmp / (np.sqrt(self.beta_0**2 + tmp) + self.beta_0)
+        ) / (self.beta_1 - self.beta_0)
+
+    def model_input_time(self, t):
+        """Continuous t → discrete model input label (`dpm_solver_pytorch.py:288-295`)."""
+        if self.schedule == "discrete":
+            return (np.asarray(t, dtype=np.float64) - 1.0 / self.total_N) * 1000.0
+        return t
+
+
+def dynamic_thresholding(x0, ratio: float = 0.995, max_val: float = 1.0):
+    """Imagen-style per-sample quantile clamp (`dpm_solver_pytorch.py:430-439`)."""
+    b = x0.shape[0]
+    s = jnp.quantile(jnp.abs(x0.reshape(b, -1)), ratio, axis=1)
+    s = jnp.maximum(s, max_val).reshape((b,) + (1,) * (x0.ndim - 1))
+    return jnp.clip(x0, -s, s) / s
+
+
+@dataclasses.dataclass
+class WrappedModel:
+    """Model-type conversion + guidance, usable with static *or* traced
+    alpha/sigma (so the same code serves unrolled steps and scan bodies).
+
+    `model(x, t_input)` for uncond; `model(x, t_input, cond)` under
+    classifier-free guidance (`model_wrapper`, `dpm_solver_pytorch.py:296-344`).
+    """
+
+    model: Callable
+    model_type: str = "x_start"
+    guidance_type: str = "uncond"
+    guidance_scale: float = 1.0
+    condition: Optional[jnp.ndarray] = None
+    unconditional_condition: Optional[jnp.ndarray] = None
+
+    def __post_init__(self):
+        assert self.model_type in ("noise", "x_start", "v", "score")
+        assert self.guidance_type in ("uncond", "classifier-free")
+
+    def _cfg_active(self):
+        return (
+            self.guidance_type == "classifier-free"
+            and self.guidance_scale != 1.0
+            and self.unconditional_condition is not None
+        )
+
+    def _raw(self, x, t_input):
+        if self.guidance_type == "uncond":
+            return self.model(x, t_input)
+        return self.model(x, t_input, self.condition)
+
+    def noise(self, x, t_input, alpha_t, sigma_t):
+        """ε̂ prediction (with CFG combination in noise space, as reference)."""
+        if self._cfg_active():
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t_input, t_input])
+            c2 = jnp.concatenate([self.unconditional_condition, self.condition])
+            out = self.model(x2, t2, c2)
+            uncond, cond = jnp.split(self._to_noise(x2, out, alpha_t, sigma_t), 2)
+            return uncond + self.guidance_scale * (cond - uncond)
+        return self._to_noise(x, self._raw(x, t_input), alpha_t, sigma_t)
+
+    def _to_noise(self, x, out, alpha_t, sigma_t):
+        if self.model_type == "noise":
+            return out
+        if self.model_type == "x_start":
+            return (x - alpha_t * out) / sigma_t
+        if self.model_type == "v":
+            return alpha_t * out + sigma_t * x
+        return -sigma_t * out  # score
+
+    def x0(self, x, t_input, alpha_t, sigma_t):
+        """x̂0 prediction. Direct conversions avoid the ε̂ round-trip except
+        under CFG, where the combination is defined in noise space."""
+        if self._cfg_active():
+            eps = self.noise(x, t_input, alpha_t, sigma_t)
+            return (x - sigma_t * eps) / alpha_t
+        out = self._raw(x, t_input)
+        if self.model_type == "x_start":
+            return out
+        if self.model_type == "noise":
+            return (x - sigma_t * out) / alpha_t
+        if self.model_type == "v":
+            return alpha_t * x - sigma_t * out
+        return (x + sigma_t**2 * out) / alpha_t  # score
+
+
+def wrap_model(model, ns=None, model_type="x_start", guidance_type="uncond",
+               guidance_scale=1.0, condition=None, unconditional_condition=None,
+               model_kwargs=None):
+    """Convenience mirroring the reference `model_wrapper` call shape."""
+    if model_kwargs:
+        base = model
+        model = lambda x, t, *cond: base(x, t, *cond, **model_kwargs)
+    return WrappedModel(
+        model=model,
+        model_type=model_type,
+        guidance_type=guidance_type,
+        guidance_scale=guidance_scale,
+        condition=condition,
+        unconditional_condition=unconditional_condition,
+    )
+
+
+@dataclasses.dataclass
+class DPMSolver:
+    """Functional DPM-Solver over a :class:`WrappedModel`."""
+
+    wrapped: WrappedModel
+    ns: NoiseScheduleVP
+    algorithm_type: str = "dpmsolver++"
+    correcting_x0_fn: Optional[str] = "dynamic_thresholding"
+    thresholding_ratio: float = 0.995
+    thresholding_max_val: float = 1.0
+    solver_type: str = "dpmsolver"
+
+    def _correct_x0(self, x0):
+        if self.correcting_x0_fn is None:
+            return x0
+        if self.correcting_x0_fn == "dynamic_thresholding":
+            return dynamic_thresholding(
+                x0, self.thresholding_ratio, self.thresholding_max_val
+            )
+        raise NotImplementedError(self.correcting_x0_fn)
+
+    def _eval_with(self, x, t_input, alpha_t, sigma_t):
+        """Model evaluation: x̂0 + corrector under dpmsolver++
+        (`data_prediction_fn:447-456`), ε̂ under dpmsolver. Coefficients may
+        be static floats or traced scalars (scan bodies)."""
+        if self.algorithm_type == "dpmsolver++":
+            return self._correct_x0(self.wrapped.x0(x, t_input, alpha_t, sigma_t))
+        return self.wrapped.noise(x, t_input, alpha_t, sigma_t)
+
+    def _eval(self, x, t: float):
+        t_input = jnp.full((x.shape[0],), float(self.ns.model_input_time(t)))
+        return self._eval_with(
+            x, t_input, float(self.ns.marginal_alpha(t)), float(self.ns.marginal_std(t))
+        )
+
+    def _x0_pred(self, x, t: float):
+        t_input = jnp.full((x.shape[0],), float(self.ns.model_input_time(t)))
+        return self._correct_x0(
+            self.wrapped.x0(
+                x, t_input, float(self.ns.marginal_alpha(t)), float(self.ns.marginal_std(t))
+            )
+        )
+
+    # -- static coefficient helpers (numpy, trace time) ---------------------
+
+    def _lam(self, t):
+        return float(self.ns.marginal_lambda(t))
+
+    def _alpha(self, t):
+        return float(self.ns.marginal_alpha(t))
+
+    def _sigma(self, t):
+        return float(self.ns.marginal_std(t))
+
+    # -- updates ------------------------------------------------------------
+
+    def _first_update(self, x, s, t, model_s):
+        """DPM-Solver-1 / DDIM (`dpm_solver_first_update:563-609`)."""
+        h = self._lam(t) - self._lam(s)
+        if self.algorithm_type == "dpmsolver++":
+            return (self._sigma(t) / self._sigma(s)) * x - (
+                self._alpha(t) * math.expm1(-h)
+            ) * model_s
+        return (self._alpha(t) / self._alpha(s)) * x - (
+            self._sigma(t) * math.expm1(h)
+        ) * model_s
+
+    def _singlestep_update(self, x, s, t, order: int, r1=None, r2=None):
+        """Singlestep order-k update with k model evaluations
+        (`:610-816`). r1/r2 are the intermediate λ ratios."""
+        if order == 1:
+            return self._first_update(x, s, t, self._eval(x, s))
+        lam_s, lam_t = self._lam(s), self._lam(t)
+        h = lam_t - lam_s
+        if order == 2:
+            r1 = 0.5 if r1 is None else r1
+            s1 = float(self.ns.inverse_lambda(lam_s + r1 * h))
+            model_s = self._eval(x, s)
+            if self.algorithm_type == "dpmsolver++":
+                phi_11, phi_1 = math.expm1(-r1 * h), math.expm1(-h)
+                x_s1 = (self._sigma(s1) / self._sigma(s)) * x - (
+                    self._alpha(s1) * phi_11
+                ) * model_s
+                model_s1 = self._eval(x_s1, s1)
+                base = (self._sigma(t) / self._sigma(s)) * x - (
+                    self._alpha(t) * phi_1
+                ) * model_s
+                if self.solver_type == "dpmsolver":
+                    return base - (0.5 / r1) * (self._alpha(t) * phi_1) * (
+                        model_s1 - model_s
+                    )
+                return base + (1.0 / r1) * (
+                    self._alpha(t) * (phi_1 / h + 1.0)
+                ) * (model_s1 - model_s)
+            phi_11, phi_1 = math.expm1(r1 * h), math.expm1(h)
+            x_s1 = (self._alpha(s1) / self._alpha(s)) * x - (
+                self._sigma(s1) * phi_11
+            ) * model_s
+            model_s1 = self._eval(x_s1, s1)
+            base = (self._alpha(t) / self._alpha(s)) * x - (
+                self._sigma(t) * phi_1
+            ) * model_s
+            if self.solver_type == "dpmsolver":
+                return base - (0.5 / r1) * (self._sigma(t) * phi_1) * (
+                    model_s1 - model_s
+                )
+            return base - (1.0 / r1) * (
+                self._sigma(t) * (phi_1 / h - 1.0)
+            ) * (model_s1 - model_s)
+        # order == 3
+        r1 = 1.0 / 3.0 if r1 is None else r1
+        r2 = 2.0 / 3.0 if r2 is None else r2
+        s1 = float(self.ns.inverse_lambda(lam_s + r1 * h))
+        s2 = float(self.ns.inverse_lambda(lam_s + r2 * h))
+        model_s = self._eval(x, s)
+        if self.algorithm_type == "dpmsolver++":
+            phi_11 = math.expm1(-r1 * h)
+            phi_12 = math.expm1(-r2 * h)
+            phi_1 = math.expm1(-h)
+            phi_22 = math.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            x_s1 = (self._sigma(s1) / self._sigma(s)) * x - (
+                self._alpha(s1) * phi_11
+            ) * model_s
+            model_s1 = self._eval(x_s1, s1)
+            x_s2 = (
+                (self._sigma(s2) / self._sigma(s)) * x
+                - (self._alpha(s2) * phi_12) * model_s
+                + (r2 / r1) * (self._alpha(s2) * phi_22) * (model_s1 - model_s)
+            )
+            model_s2 = self._eval(x_s2, s2)
+            if self.solver_type == "dpmsolver":
+                return (
+                    (self._sigma(t) / self._sigma(s)) * x
+                    - (self._alpha(t) * phi_1) * model_s
+                    + (1.0 / r2) * (self._alpha(t) * phi_2) * (model_s2 - model_s)
+                )
+            d1_0 = (1.0 / r1) * (model_s1 - model_s)
+            d1_1 = (1.0 / r2) * (model_s2 - model_s)
+            d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+            d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+            return (
+                (self._sigma(t) / self._sigma(s)) * x
+                - (self._alpha(t) * phi_1) * model_s
+                + (self._alpha(t) * phi_2) * d1
+                - (self._alpha(t) * phi_3) * d2
+            )
+        phi_11 = math.expm1(r1 * h)
+        phi_12 = math.expm1(r2 * h)
+        phi_1 = math.expm1(h)
+        phi_22 = math.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        x_s1 = (self._alpha(s1) / self._alpha(s)) * x - (
+            self._sigma(s1) * phi_11
+        ) * model_s
+        model_s1 = self._eval(x_s1, s1)
+        x_s2 = (
+            (self._alpha(s2) / self._alpha(s)) * x
+            - (self._sigma(s2) * phi_12) * model_s
+            - (r2 / r1) * (self._sigma(s2) * phi_22) * (model_s1 - model_s)
+        )
+        model_s2 = self._eval(x_s2, s2)
+        if self.solver_type == "dpmsolver":
+            return (
+                (self._alpha(t) / self._alpha(s)) * x
+                - (self._sigma(t) * phi_1) * model_s
+                - (1.0 / r2) * (self._sigma(t) * phi_2) * (model_s2 - model_s)
+            )
+        d1_0 = (1.0 / r1) * (model_s1 - model_s)
+        d1_1 = (1.0 / r2) * (model_s2 - model_s)
+        d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+        d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+        return (
+            (self._alpha(t) / self._alpha(s)) * x
+            - (self._sigma(t) * phi_1) * model_s
+            - (self._sigma(t) * phi_2) * d1
+            - (self._sigma(t) * phi_3) * d2
+        )
+
+    def _multistep_update(self, x, model_prev: Sequence, t_prev: Sequence, t, order):
+        """Multistep order-k update reusing cached model values (`:817-928`)."""
+        if order == 1:
+            return self._first_update(x, t_prev[-1], t, model_prev[-1])
+        lam = [self._lam(tp) for tp in t_prev] + [self._lam(t)]
+        t0 = t_prev[-1]
+        if order == 2:
+            h0 = lam[-2] - lam[-3]
+            h = lam[-1] - lam[-2]
+            r0 = h0 / h
+            d1_0 = (1.0 / r0) * (model_prev[-1] - model_prev[-2])
+            if self.algorithm_type == "dpmsolver++":
+                phi_1 = math.expm1(-h)
+                base = (self._sigma(t) / self._sigma(t0)) * x - (
+                    self._alpha(t) * phi_1
+                ) * model_prev[-1]
+                if self.solver_type == "dpmsolver":
+                    return base - 0.5 * (self._alpha(t) * phi_1) * d1_0
+                return base + (self._alpha(t) * (phi_1 / h + 1.0)) * d1_0
+            phi_1 = math.expm1(h)
+            base = (self._alpha(t) / self._alpha(t0)) * x - (
+                self._sigma(t) * phi_1
+            ) * model_prev[-1]
+            if self.solver_type == "dpmsolver":
+                return base - 0.5 * (self._sigma(t) * phi_1) * d1_0
+            return base - (self._sigma(t) * (phi_1 / h - 1.0)) * d1_0
+        # order == 3
+        h1 = lam[-3] - lam[-4]
+        h0 = lam[-2] - lam[-3]
+        h = lam[-1] - lam[-2]
+        r0, r1 = h0 / h, h1 / h
+        d1_0 = (1.0 / r0) * (model_prev[-1] - model_prev[-2])
+        d1_1 = (1.0 / r1) * (model_prev[-2] - model_prev[-3])
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (1.0 / (r0 + r1)) * (d1_0 - d1_1)
+        if self.algorithm_type == "dpmsolver++":
+            phi_1 = math.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            return (
+                (self._sigma(t) / self._sigma(t0)) * x
+                - (self._alpha(t) * phi_1) * model_prev[-1]
+                + (self._alpha(t) * phi_2) * d1
+                - (self._alpha(t) * phi_3) * d2
+            )
+        phi_1 = math.expm1(h)
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        return (
+            (self._alpha(t) / self._alpha(t0)) * x
+            - (self._sigma(t) * phi_1) * model_prev[-1]
+            - (self._sigma(t) * phi_2) * d1
+            - (self._sigma(t) * phi_3) * d2
+        )
+
+    # -- time grids (numpy, static) -----------------------------------------
+
+    def get_time_steps(self, skip_type, t_T, t_0, n):
+        if skip_type == "logSNR":
+            lam_T = self.ns.marginal_lambda(t_T)
+            lam_0 = self.ns.marginal_lambda(t_0)
+            return self.ns.inverse_lambda(np.linspace(lam_T, lam_0, n + 1))
+        if skip_type == "time_uniform":
+            return np.linspace(t_T, t_0, n + 1)
+        if skip_type == "time_quadratic":
+            return np.linspace(t_T**0.5, t_0**0.5, n + 1) ** 2
+        raise ValueError(skip_type)
+
+    def _singlestep_orders(self, steps, order):
+        """DPM-Solver-fast order schedule (`:497-555`)."""
+        if order == 3:
+            k = steps // 3 + 1
+            if steps % 3 == 0:
+                return [3] * (k - 2) + [2, 1]
+            if steps % 3 == 1:
+                return [3] * (k - 1) + [1]
+            return [3] * (k - 1) + [2]
+        if order == 2:
+            if steps % 2 == 0:
+                return [2] * (steps // 2)
+            return [2] * (steps // 2) + [1]
+        return [1] * steps
+
+    # -- drivers -------------------------------------------------------------
+
+    def sample(
+        self,
+        x,
+        steps: int = 20,
+        order: int = 3,
+        skip_type: str = "time_uniform",
+        method: str = "multistep",
+        t_start: Optional[float] = None,
+        t_end: Optional[float] = None,
+        lower_order_final: bool = True,
+        denoise_to_zero: bool = False,
+    ):
+        """Run the solver. All control flow is static; jit-compatible."""
+        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+
+        if method == "multistep":
+            x = self._sample_multistep(
+                x, steps, order, skip_type, t_T, t_0, lower_order_final
+            )
+        elif method in ("singlestep", "singlestep_fixed"):
+            x = self._sample_singlestep(
+                x, steps, order, skip_type, t_T, t_0, fixed=method == "singlestep_fixed"
+            )
+        else:
+            raise ValueError(method)
+        if denoise_to_zero:
+            x = self._x0_pred(x, t_0)
+        return x
+
+    def _sample_multistep(self, x, steps, order, skip_type, t_T, t_0, lower_order_final):
+        assert steps >= order
+        ts = self.get_time_steps(skip_type, t_T, t_0, steps)
+        model_prev = [self._eval(x, float(ts[0]))]
+        t_prev = [float(ts[0])]
+        # Warm-up ramp at increasing orders.
+        for step in range(1, order):
+            t = float(ts[step])
+            x = self._multistep_update(x, model_prev, t_prev, t, step)
+            t_prev.append(t)
+            model_prev.append(self._eval(x, t))
+
+        use_lower_final = lower_order_final and steps < 10
+        if use_lower_final or steps - order < 4:
+            # Short runs: unrolling is cheaper than a scan body + stacking.
+            for step in range(order, steps + 1):
+                t = float(ts[step])
+                step_order = min(order, steps + 1 - step) if use_lower_final else order
+                x = self._multistep_update(
+                    x, model_prev[-order:], t_prev[-order:], t, step_order
+                )
+                t_prev.append(t)
+                if step < steps:
+                    model_prev.append(self._eval(x, t))
+            return x
+
+        # Steady state: uniform order → lax.scan with a ring of `order`
+        # cached model values. The final step (no trailing eval) runs outside.
+        return self._multistep_scan(x, ts, order, model_prev, t_prev, steps)
+
+    def _multistep_scan(self, x, ts, order, model_prev, t_prev, steps):
+        lam = self.ns.marginal_lambda(ts)
+        alpha = self.ns.marginal_alpha(ts)
+        sigma = self.ns.marginal_std(ts)
+        t_inputs = self.ns.model_input_time(ts)
+        start, end = order, steps  # scan covers [start, end) with evals
+
+        def coeffs(step):
+            # step targets ts[step]; previous points are ts[step-1], ts[step-2], ...
+            h = lam[step] - lam[step - 1]
+            out = {
+                "h": h,
+                "sig_ratio": sigma[step] / sigma[step - 1],
+                "alpha_ratio": alpha[step] / alpha[step - 1],
+                "alpha_t": alpha[step],
+                "sigma_t": sigma[step],
+                "t_input": t_inputs[step],
+                "r0": (lam[step - 1] - lam[step - 2]) / h,
+            }
+            if order == 3:
+                out["r1"] = (lam[step - 2] - lam[step - 3]) / h
+            return out
+
+        table = {
+            k: jnp.asarray(np.stack([coeffs(s)[k] for s in range(start, end)]), jnp.float32)
+            for k in coeffs(start)
+        }
+        ring = jnp.stack(model_prev[-order:])  # (order, ...) oldest..newest
+
+        def body(carry, c):
+            x, ring = carry
+            h = c["h"]
+            if self.algorithm_type == "dpmsolver++":
+                phi_1 = jnp.expm1(-h)
+                base = c["sig_ratio"] * x - c["alpha_t"] * phi_1 * ring[-1]
+                factor = c["alpha_t"]
+                phi_2 = phi_1 / h + 1.0
+            else:
+                phi_1 = jnp.expm1(h)
+                base = c["alpha_ratio"] * x - c["sigma_t"] * phi_1 * ring[-1]
+                factor = c["sigma_t"]
+                phi_2 = phi_1 / h - 1.0
+            d1_0 = (ring[-1] - ring[-2]) / c["r0"]
+            if order == 2:
+                if self.solver_type == "dpmsolver":
+                    correction = -0.5 * factor * phi_1 * d1_0
+                elif self.algorithm_type == "dpmsolver++":
+                    correction = factor * (phi_1 / h + 1.0) * d1_0
+                else:
+                    correction = -factor * (phi_1 / h - 1.0) * d1_0
+                x_new = base + correction
+            else:  # order 3 (`multistep_dpm_solver_third_update:876-928`)
+                d1_1 = (ring[-2] - ring[-3]) / c["r1"]
+                d1 = d1_0 + (c["r0"] / (c["r0"] + c["r1"])) * (d1_0 - d1_1)
+                d2 = (d1_0 - d1_1) / (c["r0"] + c["r1"])
+                phi_3 = phi_2 / h - 0.5
+                if self.algorithm_type == "dpmsolver++":
+                    x_new = base + factor * phi_2 * d1 - factor * phi_3 * d2
+                else:
+                    x_new = base - factor * phi_2 * d1 - factor * phi_3 * d2
+            t_in = jnp.full((x.shape[0],), c["t_input"])
+            new_model = self._eval_with(x_new, t_in, c["alpha_t"], c["sigma_t"])
+            ring = jnp.concatenate([ring[1:], new_model[None]], axis=0)
+            return (x_new, ring), None
+
+        (x, ring), _ = jax.lax.scan(body, (x, ring), table)
+        # Final update to ts[steps] without a trailing model eval.
+        t_prev_tail = [float(t) for t in ts[steps - order : steps]]
+        model_tail = [ring[i] for i in range(order)]
+        return self._multistep_update(
+            x, model_tail, t_prev_tail, float(ts[steps]), order
+        )
+
+    def _sample_singlestep(self, x, steps, order, skip_type, t_T, t_0, fixed=False):
+        if fixed:
+            k = steps // order
+            orders = [order] * k
+            ts_outer = self.get_time_steps(skip_type, t_T, t_0, k)
+        else:
+            orders = self._singlestep_orders(steps, order)
+            k = len(orders)
+            if skip_type == "logSNR":
+                ts_outer = self.get_time_steps(skip_type, t_T, t_0, k)
+            else:
+                full = self.get_time_steps(skip_type, t_T, t_0, steps)
+                ts_outer = full[np.cumsum([0] + orders)]
+        for step, step_order in enumerate(orders):
+            s, t = float(ts_outer[step]), float(ts_outer[step + 1])
+            inner = self.get_time_steps(skip_type, s, t, step_order)
+            lam_inner = self.ns.marginal_lambda(inner)
+            h = lam_inner[-1] - lam_inner[0]
+            r1 = None if step_order <= 1 else float((lam_inner[1] - lam_inner[0]) / h)
+            r2 = None if step_order <= 2 else float((lam_inner[2] - lam_inner[0]) / h)
+            x = self._singlestep_update(x, s, t, step_order, r1=r1, r2=r2)
+        return x

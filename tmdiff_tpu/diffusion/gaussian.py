@@ -1,0 +1,189 @@
+"""Gaussian diffusion process: training objective and ancestral sampler.
+
+Behavioral contract (`/root/reference/GeneralModel/diffusion_general.py`):
+
+  * Training (`p_losses_dynamic:349-370`): draw integer t ∈ [1, T] per
+    sample, noise the residual with √ᾱ_t (`q_sample:341-347`), feed the
+    *integer timestep* to the denoiser, and compute L1/L2/smooth-L1 between
+    the clean residual and the network output — the network is an
+    **x0-predictor**.
+  * Ancestral sampling (`p_sample_loop:210-225`): T-step reverse loop from
+    pure noise over the residual shape. The reference's default path
+    (`p_mean_variance:154-171`) inverts the network output as if it were a
+    noise prediction — inconsistent with the training objective; the
+    x0-consistent variant exists as `p_mean_variance_xo:173-190`. We default
+    to the **correct x0 semantics** and expose the legacy inversion behind
+    `legacy_noise_inversion=True` for bit-level replication (SURVEY.md §7
+    "reference warts").
+  * Clipping (`dynamic_clip:192-200`): static clamp to [-1, 1] by default;
+    "dynamic" divides by max |x| when > 1.
+
+TPU-native deltas: the whole reverse loop is a single `jax.lax.scan` inside
+one jit (the reference runs a Python loop with one CUDA dispatch per step);
+timestep randomness uses threaded `jax.random` keys, not host numpy.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+
+# denoise_fn(x_t, t, pan, ms) -> x0 prediction; conditioning closed over.
+DenoiseFn = Callable[..., jnp.ndarray]
+
+
+def q_sample(x_start, sqrt_alpha_cumprod, noise):
+    """Forward noising with a (possibly continuous) √ᾱ level."""
+    c = sqrt_alpha_cumprod
+    return c * x_start + jnp.sqrt(1.0 - c**2) * noise
+
+
+def pixel_loss(pred, target, loss_type: str = "l1"):
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(target - pred))
+    if loss_type == "l2":
+        return jnp.mean((target - pred) ** 2)
+    if loss_type == "smooth_l1":
+        diff = jnp.abs(target - pred)
+        return jnp.mean(jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5))
+    raise NotImplementedError(loss_type)
+
+
+def diffusion_loss(
+    denoise_fn: DenoiseFn,
+    ns: NoiseSchedule,
+    rng: jax.Array,
+    res: jnp.ndarray,
+    pan: jnp.ndarray,
+    ms: jnp.ndarray,
+    loss_type: str = "l1",
+):
+    """Monte-Carlo denoising loss over a batch of residuals (B, C, H, W)."""
+    b = res.shape[0]
+    rng_t, rng_noise = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (b,), 1, ns.num_timesteps + 1)
+    gamma = ns.sqrt_alphas_cumprod_prev[t][:, None, None, None]
+    noise = jax.random.normal(rng_noise, res.shape, res.dtype)
+    x_noisy = q_sample(res, gamma, noise)
+    x_recon = denoise_fn(x_noisy, t, pan, ms)
+    return pixel_loss(x_recon, res, loss_type)
+
+
+def clip_x0(x_recon, mode: str = "static"):
+    if mode == "static":
+        return jnp.clip(x_recon, -1.0, 1.0)
+    if mode == "dynamic":
+        s = jnp.maximum(jnp.max(jnp.abs(x_recon)), 1.0)
+        return x_recon / s
+    if mode == "none":
+        return x_recon
+    raise NotImplementedError(mode)
+
+
+def posterior_mean_logvar(ns: NoiseSchedule, x_start, x_t, t):
+    mean = ns.posterior_mean_coef1[t] * x_start + ns.posterior_mean_coef2[t] * x_t
+    return mean, ns.posterior_log_variance_clipped[t]
+
+
+def predict_start_from_noise(ns: NoiseSchedule, x_t, t, noise):
+    return (
+        ns.sqrt_recip_alphas_cumprod[t] * x_t
+        - ns.sqrt_recipm1_alphas_cumprod[t] * noise
+    )
+
+
+def ancestral_sample(
+    denoise_fn: DenoiseFn,
+    ns: NoiseSchedule,
+    rng: jax.Array,
+    pan: jnp.ndarray,
+    ms: jnp.ndarray,
+    shape: tuple,
+    *,
+    clip_mode: str = "static",
+    legacy_noise_inversion: bool = False,
+    num_frames: Optional[int] = None,
+):
+    """Full T-step ancestral reverse loop as one `lax.scan`.
+
+    Returns the final residual sample, or (final, frames) when `num_frames`
+    requests intermediate snapshots (frame f = state after step t where
+    t % (T // num_frames) == 0, mirroring the reference's `sample_inter`).
+    """
+    T = ns.num_timesteps
+    rng, rng_init = jax.random.split(rng)
+    x_init = jax.random.normal(rng_init, shape)
+    interval = 1 | (T // (num_frames or 10))
+    n_slots = (T + interval - 1) // interval if num_frames else 0
+    frames_init = (
+        jnp.zeros((n_slots, *shape), x_init.dtype) if num_frames else None
+    )
+
+    def step(carry, t):
+        x, frames = carry
+        step_rng = jax.random.fold_in(rng, t)
+        if legacy_noise_inversion:
+            out = denoise_fn(x, jnp.full((shape[0],), t + 1), pan, ms)
+            x_recon = predict_start_from_noise(ns, x, t, out)
+        else:
+            x_recon = denoise_fn(x, jnp.full((shape[0],), t + 1), pan, ms)
+        x_recon = clip_x0(x_recon, clip_mode)
+        mean, logvar = posterior_mean_logvar(ns, x_recon, x, t)
+        noise = jnp.where(
+            t > 0, jax.random.normal(step_rng, shape), jnp.zeros(shape)
+        )
+        x = mean + noise * jnp.exp(0.5 * logvar)
+        if frames is not None:
+            slot = t // interval
+            frames = jax.lax.cond(
+                t % interval == 0,
+                lambda f: jax.lax.dynamic_update_slice(
+                    f, x[None], (slot,) + (0,) * len(shape)
+                ),
+                lambda f: f,
+                frames,
+            )
+        return (x, frames), None
+
+    (x, frames), _ = jax.lax.scan(
+        step, (x_init, frames_init), jnp.arange(T - 1, -1, -1)
+    )
+    if num_frames:
+        return x, frames
+    return x
+
+
+def regression_sample(denoise_fn: DenoiseFn, rng, pan, ms, shape):
+    """1-NFE regression shortcut (`sample_by_regression:289-298`): single
+    forward at t = T+1 from pure noise."""
+    x_T = jax.random.normal(rng, shape)
+    t = jnp.full((shape[0],), 1001)
+    return denoise_fn(x_T, t, pan, ms)
+
+
+def cfg_denoise(denoise_fn: DenoiseFn, guidance: float):
+    """Classifier-free guidance combinator: zero the MS conditioning for the
+    unconditional branch (`classifier_free_guidance_sample:140-152`), batched
+    2x rather than two serial calls."""
+
+    def fn(x, t, pan, ms):
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        pan2 = jnp.concatenate([pan, pan], axis=0)
+        ms2 = jnp.concatenate([ms, jnp.zeros_like(ms)], axis=0)
+        out = denoise_fn(x2, t2, pan2, ms2)
+        cond, uncond = jnp.split(out, 2, axis=0)
+        return (guidance + 1.0) * cond - guidance * uncond
+
+    return fn
+
+
+def cfg_dropout_condition(rng, cond, p_uncond: float):
+    """Training-side CFG: zero the conditioning with probability p_uncond
+    (`classifier_free_guidance_train:385-397`)."""
+    drop = jax.random.uniform(rng, ()) < p_uncond
+    return jnp.where(drop, jnp.zeros_like(cond), cond)

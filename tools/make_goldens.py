@@ -111,8 +111,143 @@ def golden_modulated_conv():
     print("modulated conv goldens written")
 
 
+def golden_wavbest():
+    """Full reference WavBEST forward on CPU with a stubbed CLIP encoder.
+
+    Saves the torch state_dict (numpy) + inputs/outputs so the test suite can
+    transplant weights into the flax model and compare end to end."""
+    sys.path.insert(0, "/root/repo")
+    from tmdiff_tpu.models.clip_text import get_prompt_embedding
+
+    # Neutralise the hard-coded .to("cuda") calls in the reference forward.
+    _orig_to = torch.Tensor.to
+
+    def _cpu_to(self, *args, **kwargs):
+        args = tuple(
+            a for a in args
+            if not (isinstance(a, (str, torch.device)) and "cuda" in str(a))
+        )
+        if "cuda" in str(kwargs.get("device", "")):
+            kwargs.pop("device")
+        if not args and not kwargs:
+            return self
+        return _orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = _cpu_to
+
+    import GeneralModel.Hyper_unet_general as ref_unet
+
+    class FakeClip:
+        def __init__(self, *a, **k):
+            pass
+
+        def encode(self, text):
+            # Deterministic stand-in; the flax side receives the same vector.
+            import hashlib
+            seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "little")
+            vec = np.random.default_rng(seed).standard_normal(768)
+            vec = vec / np.linalg.norm(vec) * np.sqrt(768)
+            return torch.from_numpy(vec.astype(np.float32))[None]
+
+    ref_unet.FrozenCLIPEmbedder = FakeClip
+    torch.manual_seed(3407)
+    model = ref_unet.WavBEST(channels=[8, 16, 32, 64])
+    model.eval()
+
+    B, bands, H, W = 2, 4, 16, 16
+    x = torch.from_numpy(rng.standard_normal((B, bands, H, W)).astype(np.float32))
+    pan = torch.from_numpy(rng.standard_normal((B, 1, H, W)).astype(np.float32))
+    ms = torch.from_numpy(rng.standard_normal((B, bands, H, W)).astype(np.float32))
+    t = torch.tensor([[17], [912]])
+    with torch.no_grad():
+        y = model(x, t, pan, ms, "QB")
+
+    sd = {
+        k: v.numpy() for k, v in model.state_dict().items()
+        if "clip_text" not in k
+    }
+    prompt_vec = model.get_embeding("QB").numpy()[0]
+    np.savez(
+        os.path.join(OUT, "wavbest.npz"),
+        x=x.numpy(), pan=pan.numpy(), ms=ms.numpy(),
+        t=t.numpy().reshape(-1), y=y.numpy(), prompt=prompt_vec,
+        **{"sd." + k: v for k, v in sd.items()},
+    )
+    torch.Tensor.to = _orig_to
+    print("wavbest goldens written, out shape", y.shape)
+
+
+def golden_dpm_solver():
+    """Reference DPM-Solver runs on analytic toy models, several configs."""
+    from core.dpm_solver_pytorch import NoiseScheduleVP, model_wrapper, DPM_Solver
+    from GeneralModel.diffusion_general import make_beta_schedule
+
+    betas = torch.from_numpy(make_beta_schedule("cosine", 1000)).float()
+    x_T = torch.from_numpy(rng.standard_normal((1, 3, 8, 8)).astype(np.float32))
+    cond = torch.from_numpy(rng.standard_normal((1, 3, 8, 8)).astype(np.float32))
+
+    def toy(x, t, *extra):
+        t4 = t.reshape(-1, 1, 1, 1).float()
+        out = torch.tanh(x) * 0.7 + torch.sin(x * 2.0) * (t4 / 1000.0)
+        if extra:
+            out = out + 0.1 * extra[0]
+        return out
+
+    def toy_linear(x, t, *extra):
+        # Linear in x: the un-thresholded vanilla-dpmsolver trajectory is
+        # chaotic under a nonlinear toy (1e-6 input perturbation → ~50%
+        # output change), making fp32 parity ill-posed; a linear model keeps
+        # sensitivity linear.
+        t4 = t.reshape(-1, 1, 1, 1).float()
+        return 0.3 * x + 0.05 * (t4 / 1000.0) * x
+
+    out = {"x_T": x_T.numpy(), "betas": betas.numpy(), "cond": cond.numpy()}
+    ns = NoiseScheduleVP(schedule="discrete", betas=betas)
+
+    configs = {
+        # name: (model_type, algo, kwargs for .sample, correcting, guidance)
+        "ss3_xstart": ("x_start", "dpmsolver++",
+                       dict(steps=30, order=3, skip_type="logSNR",
+                            method="singlestep", denoise_to_zero=True),
+                       "dynamic_thresholding", None),
+        "ms3_noise": ("noise", "dpmsolver++",
+                      dict(steps=50, order=3, skip_type="logSNR",
+                           method="multistep", denoise_to_zero=True),
+                      "dynamic_thresholding", None),
+        "ms2_short": ("x_start", "dpmsolver++",
+                      dict(steps=8, order=2, skip_type="time_uniform",
+                           method="multistep"),
+                      "dynamic_thresholding", None),
+        "ssfix2_eps": ("noise", "dpmsolver",
+                       dict(steps=10, order=2, skip_type="time_uniform",
+                            method="singlestep_fixed"),
+                       None, None),
+        "ms2_cfg": ("noise", "dpmsolver++",
+                    dict(steps=50, order=2, skip_type="logSNR",
+                         method="multistep"),
+                    "dynamic_thresholding", 3.0),
+    }
+    for name, (mtype, algo, kwargs, correct, guidance) in configs.items():
+        net = toy_linear if name == "ssfix2_eps" else toy
+        if guidance is not None:
+            fn = model_wrapper(
+                net, ns, model_type=mtype, guidance_type="classifier-free",
+                condition=cond, unconditional_condition=torch.zeros_like(cond),
+                guidance_scale=guidance,
+            )
+        else:
+            fn = model_wrapper(net, ns, model_type=mtype)
+        solver = DPM_Solver(fn, ns, algorithm_type=algo, correcting_x0_fn=correct)
+        with torch.no_grad():
+            out[name] = solver.sample(x_T.clone(), **kwargs).numpy()
+    np.savez(os.path.join(OUT, "dpm_solver.npz"), **out)
+    print("dpm solver goldens written")
+
+
 if __name__ == "__main__":
     golden_dwt()
     golden_schedules()
     golden_gamma_embedding()
     golden_modulated_conv()
+    golden_wavbest()
+    golden_dpm_solver()
