@@ -1,0 +1,98 @@
+"""End-to-end CLI smoke: config-driven train (3 steps, 3 sensors, mixing,
+validation, .mat artifacts, checkpoint) then val phase with resume —
+the synthetic-data equivalent of the reference entry script flow."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tmdiff_tpu.data.synthetic import write_h5
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    paths = {}
+    for i, sensor in enumerate(["qb", "gf2", "wv3"]):
+        scale = 1023.0 if sensor == "gf2" else 2047.0
+        paths[f"train_{sensor}"] = write_h5(
+            str(root / f"train_{sensor}_data.h5"), n=6, bands=4, size=16,
+            seed=i, img_scale=scale,
+        )
+        paths[f"val_{sensor}"] = write_h5(
+            str(root / f"test_{sensor}_data_RR.h5"), n=2, bands=4, size=16,
+            seed=10 + i, img_scale=scale,
+        )
+    cfg = {
+        "name": "smoke",
+        "phase": "train",
+        "path": {"log": "logs", "results": "results", "checkpoint": "checkpoint",
+                 "resume": None},
+        "datasets": {
+            "train_qb": {"dataroot": paths["train_qb"], "batch_size": 2,
+                          "use_shuffle": True, "data_len": -1},
+            "train_gf2": {"dataroot": paths["train_gf2"], "batch_size": 2,
+                           "use_shuffle": True, "data_len": -1},
+            "train_wv3": {"dataroot": paths["train_wv3"], "batch_size": 2,
+                           "use_shuffle": True, "data_len": -1},
+            "val_QB": {"dataroot": paths["val_qb"], "data_len": 1},
+            "val_GF2": {"dataroot": paths["val_gf2"], "data_len": 1},
+            "val_WV3": {"dataroot": paths["val_wv3"], "data_len": 1},
+        },
+        "model": {
+            "beta_schedule": {
+                "train": {"schedule": "cosine", "n_timestep": 10},
+                "val": {"schedule": "cosine", "n_timestep": 10},
+            },
+            "init_type": "kaiming",
+            "unet": {"channel_multiplier": [4, 8, 8, 16]},
+            "diffusion": {"loss_type": "l1"},
+        },
+        "train": {"val_freq": 3, "print_freq": 1, "max_iter": 3,
+                  "optimizer": {"lr": 1e-3}},
+        "val_max_images": 1,
+    }
+    cfg_path = root / "smoke.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return root, str(cfg_path)
+
+
+def test_train_phase_end_to_end(workspace, monkeypatch):
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    from tmdiff_tpu import cli
+
+    cli.main(["-c", cfg_path, "-p", "train", "--sampler", "regression"])
+    exp = [d for d in (root / "experiments").iterdir()][0]
+    assert (exp / "logs" / "train.log").exists()
+    ckpts = list((exp / "checkpoint").glob("I*"))
+    assert ckpts, "checkpoint not written"
+    mats = list((exp / "results").rglob("output_mulExm_*.mat"))
+    assert mats, ".mat artifacts not written"
+    import scipy.io as scio
+
+    sr = scio.loadmat(str(mats[0]))["sr"]
+    assert sr.shape == (16, 16, 4)
+
+
+def test_val_phase_with_resume(workspace, monkeypatch):
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    exp = sorted((root / "experiments").iterdir())[0]
+    ckpt_dir = str(exp / "checkpoint")
+
+    cfg = json.loads((root / "smoke.json").read_text())
+    cfg["path"]["resume"] = ckpt_dir
+    cfg["name"] = "smoke_val"
+    val_cfg = root / "smoke_val.json"
+    val_cfg.write_text(json.dumps(cfg))
+
+    from tmdiff_tpu import cli
+
+    cli.main(["-c", str(val_cfg), "-p", "val", "--sampler", "regression"])
+    val_exps = [d for d in (root / "experiments").iterdir()
+                if d.name.startswith("smoke_val")]
+    assert val_exps
+    mats = list(val_exps[0].rglob("output_mulExm_*.mat"))
+    assert mats

@@ -1,0 +1,108 @@
+"""Trainer: loss decreases on synthetic data, EMA/schedule semantics,
+checkpoint round-trip, and multi-device sharded training on the 8-CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tmdiff_tpu.data import BatchIterator, PanDataset
+from tmdiff_tpu.data.synthetic import make_arrays
+from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+from tmdiff_tpu.models import WavBEST
+from tmdiff_tpu.models.clip_text import get_prompt_embedding
+from tmdiff_tpu.parallel import make_mesh
+from tmdiff_tpu.train.trainer import Trainer, hf_linear_schedule
+from tmdiff_tpu.train import checkpoint as ckpt_lib
+from tmdiff_tpu.train.ema import ema_update
+
+
+TINY = dict(channels=(4, 8, 8, 16))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = PanDataset(make_arrays(n=8, bands=4, size=16, seed=0))
+    it = BatchIterator(ds, batch_size=8, seed=0)
+    model = WavBEST(**TINY)
+    trainer = Trainer(
+        model=model,
+        schedule=NoiseSchedule.create("cosine", 100),
+        lr=2e-3, warmup_steps=2, max_iter=1000,
+    )
+    emb = np.asarray(get_prompt_embedding("QB"))
+
+    # train_step DONATES its input state, so each test needs a fresh one —
+    # sharing a state across tests would reuse deleted buffers.
+    def make_state():
+        return trainer.init_state(next(it), emb)
+
+    return trainer, it, emb, make_state
+
+
+def test_lr_schedule():
+    fn = hf_linear_schedule(1e-3, 100, 1000)
+    assert float(fn(0)) == 0.0
+    assert float(fn(50)) == pytest.approx(5e-4)
+    assert float(fn(100)) == pytest.approx(1e-3)
+    assert float(fn(550)) == pytest.approx(5e-4)
+    assert float(fn(1000)) == 0.0
+    assert float(fn(2000)) == 0.0
+
+
+def test_loss_decreases(setup):
+    trainer, it, emb, make_state = setup
+    state = make_state()
+    losses = []
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, next(it), emb)
+        losses.append(float(metrics["l_pix"]))
+    assert int(state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    assert np.isfinite(losses).all()
+
+
+def test_ema_semantics(rng):
+    p0 = {"w": jnp.asarray(rng.standard_normal(4), jnp.float32)}
+    p1 = {"w": jnp.asarray(rng.standard_normal(4), jnp.float32)}
+    # copy-through at/below start_iter
+    out = ema_update(p0, p1, step=5, decay=0.999, start_iter=5)
+    np.testing.assert_allclose(out["w"], p1["w"])
+    # blend afterwards
+    out = ema_update(p0, p1, step=6, decay=0.999, start_iter=5)
+    np.testing.assert_allclose(
+        out["w"], p0["w"] * 0.999 + p1["w"] * 0.001, rtol=1e-5
+    )
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    trainer, it, emb, make_state = setup
+    state2, _ = trainer.train_step(make_state(), next(it), emb)
+    path = ckpt_lib.save_checkpoint(str(tmp_path), state2)
+    assert ckpt_lib.latest_step(str(tmp_path)) == int(state2.step)
+    template = jax.tree.map(jnp.zeros_like, jax.device_get(state2))
+    restored = ckpt_lib.restore_checkpoint(str(tmp_path), template)
+    chex_close = lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7)
+    jax.tree.map(chex_close, jax.device_get(restored.params),
+                 jax.device_get(state2.params))
+    assert int(restored.step) == int(state2.step)
+
+
+def test_sharded_training_8dev():
+    """Full train step over a data×space mesh on the forced 8-CPU backend."""
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(data=4, space=2)
+    ds = PanDataset(make_arrays(n=8, bands=4, size=16, seed=1))
+    it = BatchIterator(ds, batch_size=8, seed=1)
+    trainer = Trainer(
+        model=WavBEST(**TINY),
+        schedule=NoiseSchedule.create("cosine", 100),
+        lr=1e-3, mesh=mesh,
+    )
+    emb = np.asarray(get_prompt_embedding("WV3"))
+    state = trainer.init_state(next(it), emb)
+    for _ in range(2):
+        state, metrics = trainer.train_step(state, next(it), emb)
+    assert np.isfinite(float(metrics["l_pix"]))
+    # params replicated, batch sharded
+    p0 = jax.tree.leaves(state.params)[0]
+    assert p0.sharding.is_fully_replicated

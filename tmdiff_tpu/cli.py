@@ -1,0 +1,172 @@
+"""Config-driven train / val entry point.
+
+Mirrors `/root/reference/general_sharpening_joint_random_batch_finetune.py`:
+  python -m tmdiff_tpu.cli -c config.json -p train|val [-debug]
+Builds per-sensor train iterators (train_qb / train_gf2 / train_wv3 dataset
+entries), joint random-batch mixing with 4:4:8 length-weighted probabilities,
+periodic validation (val_QB / val_GF2 / val_WV3) with .mat artifacts and
+metric logging, and orbax checkpoints. `-gpu` is accepted for CLI parity but
+ignored (device selection is JAX's).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from tmdiff_tpu.config import dict2str, parse_config
+
+
+def setup_logger(name, root, filename, screen=False):
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter(
+        "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s", "%y-%m-%d %H:%M:%S"
+    )
+    fh = logging.FileHandler(os.path.join(root, f"{filename}.log"), mode="w")
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    if screen:
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+    return logger
+
+
+SENSOR_OF_PHASE = {
+    "train_qb": "QB", "train_gf2": "GF2", "train_wv3": "WV3",
+    "val_QB": "QB", "val_GF2": "GF2", "val_WV3": "WV3",
+}
+
+
+def build_datasets(opt, phase):
+    from tmdiff_tpu.data import BatchIterator, PanDataset, SensorMixer
+
+    train_iters, val_sets = {}, {}
+    for name, ds_opt in (opt["datasets"] or {}).items():
+        sensor = SENSOR_OF_PHASE.get(name)
+        if sensor is None:
+            continue
+        if name.startswith("train") and phase == "train":
+            ds = PanDataset(ds_opt["dataroot"], data_len=ds_opt["data_len"] or -1)
+            train_iters[sensor] = BatchIterator(
+                ds, batch_size=ds_opt["batch_size"] or 8,
+                shuffle=bool(ds_opt["use_shuffle"]),
+            )
+        elif name.startswith("val"):
+            val_sets[sensor] = PanDataset(
+                ds_opt["dataroot"], data_len=ds_opt["data_len"] or -1
+            )
+    mixer = SensorMixer(train_iters) if train_iters else None
+    return mixer, val_sets
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-p", "--phase", type=str, default="val",
+                        choices=["train", "val"])
+    parser.add_argument("-gpu", "--gpu_ids", type=str, default=None)  # parity; unused
+    parser.add_argument("-debug", "-d", action="store_true", dest="debug")
+    parser.add_argument("-log_eval", action="store_true")
+    parser.add_argument("--sampler", type=str, default="dpm++",
+                        choices=["dpm++", "dpm++_noise", "ancestral", "regression"])
+    args = parser.parse_args(argv)
+
+    opt = parse_config(args.config, phase=args.phase, debug=args.debug)
+    logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
+    logger.info(opt.get("info", opt["name"]))
+    logger.info(dict2str(opt))
+
+    from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+    from tmdiff_tpu.eval.harness import validate
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.pipeline import Pansharpener
+    from tmdiff_tpu.train.trainer import Trainer
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+
+    mixer, val_sets = build_datasets(opt, args.phase)
+    logger.info("Initial Dataset Finished")
+
+    sched_opt = opt["model"]["beta_schedule"][args.phase]
+    channels = tuple(opt["model"]["unet"]["channel_multiplier"] or (32, 64, 128, 256))
+    model = WavBEST(channels=channels)
+    schedule = NoiseSchedule.create(sched_opt["schedule"], sched_opt["n_timestep"])
+
+    train_opt = opt["train"] or {}
+    trainer = Trainer(
+        model=model,
+        schedule=schedule,
+        lr=(train_opt.get("optimizer") or {}).get("lr", 1e-4),
+        max_iter=train_opt.get("max_iter", 300_000),
+        loss_type=(opt["model"]["diffusion"] or {}).get("loss_type", "l1"),
+    )
+
+    # Init / resume state.
+    if args.phase == "train":
+        first_batch, first_sensor = next(mixer)
+    else:
+        sensor0, ds0 = next(iter(val_sets.items()))
+        first_batch, first_sensor = ds0.batch(np.arange(1)), sensor0
+
+    sharp_proto = Pansharpener(
+        model, params=None,
+        schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
+    )
+    prompt_emb = np.asarray(sharp_proto.prompt_embedding(first_sensor))
+    state = trainer.init_state(first_batch, prompt_emb)
+
+    resume = opt["path"]["resume"]
+    if resume:
+        if resume.endswith(".pth") or os.path.exists(resume + "_gen.pth"):
+            path = resume if resume.endswith(".pth") else resume + "_gen.pth"
+            state = ckpt_lib.import_reference_checkpoint(path, state)
+            logger.info(f"Imported reference torch checkpoint {path}")
+        else:
+            state = ckpt_lib.restore_checkpoint(resume, state)
+            logger.info(f"Restored checkpoint from {resume}")
+    current_step = int(state.step)
+    logger.info("Initial Model Finished")
+
+    def run_validation(state):
+        sharp = Pansharpener(
+            model, state.ema_params if train_opt.get("use_ema_eval") else state.params,
+            schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
+        )
+        for sensor, ds in val_sets.items():
+            scores = validate(
+                sharp, ds, sensor,
+                result_dir=os.path.join(opt["path"]["results"], sensor),
+                method=args.sampler,
+                max_images=int(opt.get("val_max_images") or -1),
+            )
+            logger.info(f"step {int(state.step)} {sensor} {scores}")
+            print(int(state.step), sensor, scores)
+
+    if args.phase == "train":
+        max_iter = train_opt.get("max_iter", 300_000)
+        print_freq = train_opt.get("print_freq", 50)
+        val_freq = train_opt.get("val_freq", 5000)
+        while current_step < max_iter:
+            batch, sensor = next(mixer)
+            emb = np.asarray(sharp_proto.prompt_embedding(sensor))
+            state, metrics = trainer.train_step(state, batch, emb)
+            current_step += 1
+            if current_step % print_freq == 0:
+                logger.info(
+                    f"step {current_step} "
+                    + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
+                )
+            if current_step % val_freq == 0:
+                run_validation(state)
+                ckpt_lib.save_checkpoint(opt["path"]["checkpoint"], state)
+    else:
+        logger.info("Begin Model Evaluation.")
+        run_validation(state)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from tmdiff_tpu.ops.pallas.flash_attention import flash_attention  # noqa: F401

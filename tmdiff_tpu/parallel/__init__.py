@@ -1,0 +1,7 @@
+from tmdiff_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    spatial_constraint,
+)
