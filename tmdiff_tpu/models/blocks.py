@@ -33,11 +33,33 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tmdiff_tpu.ops import wavelet
-from tmdiff_tpu.ops.modconv import modulated_conv3d
+from tmdiff_tpu.ops.modconv import conv3d, modulated_conv3d
 
 
 def swish(x):
     return x * jax.nn.sigmoid(x)
+
+
+class Conv3d(nn.Module):
+    """Plain biased 3-D conv routed through ops.modconv.conv3d so the whole
+    model obeys the TMDIFF_CONV3D_IMPL lowering switch (fold2d vs lax).
+    Param structure matches flax nn.Conv ({kernel, bias}) for transplant."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(y.dtype)
 
 
 class ModConv3d(nn.Module):
@@ -80,12 +102,12 @@ class ResBlockModulate(nn.Module):
             ]
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(self.features, (3, 3, 3), name="conv20", dtype=self.dtype)(h)
+        h = Conv3d(self.features, (3, 3, 3), name="conv20", dtype=self.dtype)(h)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = ModConv3d(self.features, name="conv21", dtype=self.dtype)(h, zemb)
         if cin != self.features:
-            x = nn.Conv(self.features, (1, 1, 1), name="res_conv", dtype=self.dtype)(x)
+            x = Conv3d(self.features, (1, 1, 1), name="res_conv", dtype=self.dtype)(x)
         return h + x
 
 
@@ -97,7 +119,7 @@ class AdaptionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, zemb):
-        h = nn.Conv(self.features, (1, 1, 1), name="conv20", dtype=self.dtype)(x)
+        h = Conv3d(self.features, (1, 1, 1), name="conv20", dtype=self.dtype)(x)
         h = swish(h)
         return ModConv3d(self.features, name="conv21", dtype=self.dtype)(h, zemb)
 
@@ -114,8 +136,8 @@ class WaveletDown(nn.Module):
     @nn.compact
     def __call__(self, x, temb, zemb, *, train: bool = False):
         h = swish(x)
-        h = nn.Conv(self.features, (3, 3, 3), name="Conv_0", dtype=self.dtype)(h)
-        x = nn.Conv(self.features, (1, 1, 1), name="Conv_2", dtype=self.dtype)(x)
+        h = Conv3d(self.features, (3, 3, 3), name="Conv_0", dtype=self.dtype)(h)
+        x = Conv3d(self.features, (1, 1, 1), name="Conv_2", dtype=self.dtype)(x)
 
         # DWT acts on (H, W) per band/feature — layout (B, D, H/2, W/2, C).
         h_ll, h_lh, h_hl, h_hh = wavelet.dwt2d(h)
@@ -146,8 +168,8 @@ class WaveletUp(nn.Module):
     @nn.compact
     def __call__(self, x, temb, zemb, skip, *, train: bool = False):
         h = swish(x)
-        h = nn.Conv(self.features, (3, 3, 3), name="Conv_0", dtype=self.dtype)(h)
-        x = nn.Conv(self.features, (1, 1, 1), name="Conv_2", dtype=self.dtype)(x)
+        h = Conv3d(self.features, (3, 3, 3), name="Conv_0", dtype=self.dtype)(h)
+        x = Conv3d(self.features, (1, 1, 1), name="Conv_2", dtype=self.dtype)(x)
 
         # Grouped conv over [LH ∥ HL ∥ HH]: three independent 3×3×3 convs, one
         # per subband (reference convH_0, groups=3, `Hyper_unet_general.py:359-361`).

@@ -20,6 +20,8 @@ and features C innermost (TPU lane dimension).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -28,9 +30,48 @@ from jax import lax
 DIMENSION_NUMBERS_3D = ("NDHWC", "DHWIO", "NDHWC")
 DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 
+# 3-D conv lowering: "fold2d" rewrites the depth(band)-axis taps as channel
+# blocks of ONE 2-D NHWC conv (bands folded into batch) — the shape XLA maps
+# best onto the MXU; "lax" is the direct 3-D convolution. Same math, see
+# `_conv3d_fold2d`. Selectable for benchmarking.
+CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "fold2d")
+
+
+def _conv3d_fold2d(x: jax.Array, kernel: jax.Array):
+    """SAME/stride-1 3-D conv as a single folded 2-D conv.
+
+    y[b,d] = Σ_i conv2d(x_pad[b, d+i], K[i])  — so concatenating the kd
+    depth-shifted views along channels and flattening the kernel's depth
+    taps into input channels yields one (kh, kw, kd·C, Cout) NHWC conv over
+    a (B·D, H, W, kd·C) batch."""
+    b, d, h, w, c = x.shape
+    kd, kh, kw, cin, cout = kernel.shape
+    if kd == 1:
+        x2 = x.reshape(b * d, h, w, c)
+        y = lax.conv_general_dilated(
+            x2, kernel[0].astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=DIMENSION_NUMBERS_2D,
+        )
+        return y.reshape(b, d, h, w, cout)
+    pad = kd // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    xcat = jnp.concatenate([xp[:, i : i + d] for i in range(kd)], axis=-1)
+    kflat = kernel.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * cin, cout)
+    y = lax.conv_general_dilated(
+        xcat.reshape(b * d, h, w, kd * c), kflat.astype(x.dtype), (1, 1),
+        "SAME", dimension_numbers=DIMENSION_NUMBERS_2D,
+    )
+    return y.reshape(b, d, h, w, cout)
+
 
 def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1)):
-    """Plain 3-D conv: x (B, D, H, W, Cin), kernel (kd, kh, kw, Cin, Cout)."""
+    """3-D conv: x (B, D, H, W, Cin), kernel (kd, kh, kw, Cin, Cout)."""
+    if (
+        CONV3D_IMPL == "fold2d"
+        and padding == "SAME"
+        and tuple(stride) == (1, 1, 1)
+    ):
+        return _conv3d_fold2d(x, kernel)
     return lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
