@@ -4,10 +4,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: ≥2,000 denoise steps/sec/chip at 256×256 (BASELINE.md).
 A "denoise step" is one UNet forward for one image (batch counts multiply).
 
-Measurement is device-truth: K forwards are chained through a fori_loop data
-dependency inside ONE jitted call, and the result is fetched to the host —
-async-dispatch artifacts (block_until_ready is unreliable through the axon
-tunnel) cannot inflate the number.
+The TPU is reached through a bandwidth-limited stdio relay, so the bench is
+transfer-free: parameter init, input generation, and K data-dependency-
+chained forwards all happen inside ONE jitted program that returns a single
+scalar. Timing a steady-state call therefore measures device execution, not
+pipe throughput; the scalar fetch is the ground-truth sync.
 """
 import json
 import time
@@ -24,37 +25,46 @@ def main():
     bands, H, W = 8, 256, 256
     chain_len = 8
     model = WavBEST(channels=(32, 64, 128, 256), dtype=jnp.bfloat16)
+    emb = jnp.asarray(get_prompt_embedding("WV3"))  # (768,) — tiny transfer
 
-    rng = jax.random.key(0)
-    x = jax.random.normal(rng, (batch, bands, H, W), jnp.float32)
-    t = jnp.full((batch,), 500, jnp.int32)
-    pan = jax.random.normal(rng, (batch, 1, H, W), jnp.float32)
-    ms = jax.random.normal(rng, (batch, bands, H, W), jnp.float32)
-    emb = jnp.asarray(get_prompt_embedding("WV3"))
-    params = model.init(jax.random.key(1), x[:1], t[:1], pan[:1], ms[:1], emb)
+    def init_params(rng):
+        x1 = jnp.zeros((1, bands, H, W), jnp.float32)
+        return model.init(
+            rng, x1, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 1, H, W), jnp.float32), x1, emb,
+        )
 
     @jax.jit
-    def chained(p, x0):
+    def bench_once(seed):
+        rng = jax.random.key(seed)
+        params = init_params(rng)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (batch, bands, H, W))
+        pan = jax.random.normal(jax.random.fold_in(rng, 2), (batch, 1, H, W))
+        ms = jax.random.normal(jax.random.fold_in(rng, 3), (batch, bands, H, W))
+        t = jnp.full((batch,), 500, jnp.int32)
+
         def body(_, v):
-            return model.apply(p, v, t, pan, ms, emb)
+            return model.apply(params, v, t, pan, ms, emb)
 
-        return jax.lax.fori_loop(0, chain_len, body, x0)
+        out = jax.lax.fori_loop(0, chain_len, body, x)
+        return jnp.mean(out)
 
-    # Compile + warm, forcing a real round-trip.
-    float(jnp.mean(chained(params, x)))
+    # Compile + first run (scalar round-trip only).
+    t0 = time.perf_counter()
+    sink = float(bench_once(0))
+    compile_s = time.perf_counter() - t0
 
     reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = chained(params, x)
-    sink = float(jnp.mean(out))  # ground-truth sync
+    vals = [float(bench_once(i + 1)) for i in range(reps)]
     dt = time.perf_counter() - t0
 
     steps = reps * chain_len * batch
     steps_per_sec = steps / dt / jax.device_count()
     result = {
         "metric": "UNet denoise steps/sec/chip @256x256 (8-band, bf16, "
-                  f"batch {batch}, fori-chained x{chain_len}, sink={sink:.3f})",
+                  f"batch {batch}, fori-chained x{chain_len}, on-device init; "
+                  f"compile {compile_s:.0f}s)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / 2000.0, 4),

@@ -90,20 +90,24 @@ class Pansharpener:
             )
         elif method in ("dpm++", "dpm++_noise", "dpm++_cfg"):
             if method == "dpm++_cfg":
+                # The CFG wrapper doubles the batch (uncond ∥ cond on MS);
+                # PAN must tile to match (`sample_by_dpmsolver_guidance`
+                # doubles the kwargs, diffusion_general.py:300-321).
+                def denoise_cfg(x, t, cond):
+                    reps = x.shape[0] // pan.shape[0]
+                    pan_r = jnp.concatenate([pan] * reps, axis=0)
+                    return self.model.apply(
+                        self.params, x, t, pan_r, cond, prompt_emb
+                    )
+
                 wrapped = WrappedModel(
-                    lambda x, t, cond: denoise_cfg(x, t, cond),
+                    denoise_cfg,
                     model_type=self.model_type,
                     guidance_type="classifier-free",
                     guidance_scale=guidance,
                     condition=ms,
                     unconditional_condition=jnp.zeros_like(ms),
                 )
-
-                def denoise_cfg(x, t, cond):
-                    return self.model.apply(
-                        self.params, x, t, pan, cond, prompt_emb
-                    )
-
                 solver = DPMSolver(wrapped, self.nsvp)
                 res = solver.sample(
                     jax.random.normal(rng, shape),
