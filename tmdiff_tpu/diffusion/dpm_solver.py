@@ -145,7 +145,11 @@ class WrappedModel:
         if self._cfg_active():
             x2 = jnp.concatenate([x, x])
             t2 = jnp.concatenate([t_input, t_input])
-            c2 = jnp.concatenate([self.unconditional_condition, self.condition])
+            # Conditions may be arrays or pytrees (e.g. cached cond features).
+            c2 = jax.tree.map(
+                lambda u, c: jnp.concatenate([u, c]),
+                self.unconditional_condition, self.condition,
+            )
             out = self.model(x2, t2, c2)
             uncond, cond = jnp.split(self._to_noise(x2, out, alpha_t, sigma_t), 2)
             return uncond + self.guidance_scale * (cond - uncond)
