@@ -53,11 +53,11 @@ def test_loss_decreases(setup):
     trainer, it, emb, make_state = setup
     state = make_state()
     losses = []
-    for _ in range(30):
+    for _ in range(16):
         state, metrics = trainer.train_step(state, next(it), emb)
         losses.append(float(metrics["l_pix"]))
-    assert int(state.step) == 30
-    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    assert int(state.step) == 16
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
     assert np.isfinite(losses).all()
 
 

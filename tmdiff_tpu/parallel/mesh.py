@@ -69,3 +69,23 @@ def spatial_constraint(x, mesh: Mesh):
     """Annotate an intermediate (B, ..., H, W) with data+space sharding so
     XLA keeps activations distributed through the conv stack."""
     return jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host bring-up: after `jax.distributed.initialize` the global
+    mesh spans every host's devices and the SAME pjit program runs —
+    gradient all-reduce rides ICI within a slice and DCN across slices, all
+    emitted by XLA (no NCCL/MPI layer to port; SURVEY.md §2.3). No-op when
+    already initialized or single-process."""
+    import jax.distributed as jdist
+
+    try:
+        jdist.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return jax.device_count(), jax.process_count()

@@ -14,13 +14,17 @@ Samplers:
     (`sample_by_dpmsolver_guidance`);
   * "regression"  — 1-NFE shortcut (`sample_by_regression`).
 
-All samplers are jit-compiled once per (shape, config) and return images in
-[0, 1] (residual + upsampled MS).
+TPU-first details:
+  * each sampler config compiles ONCE (cached by (method, shape, steps, …));
+    params are jit arguments, so EMA/online swaps don't retrace;
+  * the time-independent conditional encoder runs once per image and its
+    features are reused across every solver step (the reference recomputes
+    them per NFE — see models/wavbest.py);
+  * outputs are images in [0, 1] (residual + upsampled MS, clipped).
 """
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -52,27 +56,76 @@ class Pansharpener:
         table, index, self.is_real_clip = load_prompt_table()
         self.prompt_table = jnp.asarray(table)
         self.prompt_index = index
-        self._compiled = {}
+        self._compiled: dict = {}
 
     def prompt_embedding(self, sensor: str):
         return self.prompt_table[self.prompt_index[sensor]]
 
-    def _denoise_fn(self, prompt_emb, pan, ms):
-        """Denoiser with the time-independent conditional branch computed
-        ONCE and cached across all solver steps (the reference recomputes it
-        every NFE — see models/wavbest.py module doc). Nearly halves
-        per-step FLOPs for every sampler."""
-        cache = self.model.apply(
-            self.params, pan, ms, prompt_emb,
-            method=self.model.encode_condition,
+    # -- sampler program builders (compiled once per config) -------------------
+
+    def _encode(self, params, pan, ms, prompt_emb):
+        return self.model.apply(
+            params, pan, ms, prompt_emb, method=self.model.encode_condition
         )
 
-        def fn(x, t, _pan=None, _ms=None):
-            return self.model.apply(
-                self.params, x, t, cache, method=self.model.denoise
-            )
+    def _denoise(self, params, x, t, cache):
+        return self.model.apply(params, x, t, cache, method=self.model.denoise)
 
-        return fn
+    def _build(self, method: str, steps: Optional[int], guidance: float,
+               legacy: bool):
+        def run(params, pan, ms, prompt_emb, seed):
+            rng = jax.random.fold_in(jax.random.key(0), seed)
+            shape = ms.shape
+            cache = self._encode(params, pan, ms, prompt_emb)
+            denoise = lambda x, t, *_: self._denoise(params, x, t, cache)
+
+            if method == "ancestral":
+                res = gaussian.ancestral_sample(
+                    denoise, self.ns, rng, pan, ms, shape,
+                    legacy_noise_inversion=legacy,
+                )
+            elif method == "regression":
+                res = gaussian.regression_sample(denoise, rng, pan, ms, shape)
+            elif method == "dpm++_cfg":
+                # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
+                # diffusion_general.py:300-321); both branches' cond features
+                # are time-independent → encoded once each, tree-concatenated
+                # along batch by the guidance wrapper.
+                wrapped = WrappedModel(
+                    lambda x, t, c: self._denoise(params, x, t, c),
+                    model_type=self.model_type,
+                    guidance_type="classifier-free",
+                    guidance_scale=guidance,
+                    condition=cache,
+                    unconditional_condition=self._encode(
+                        params, pan, jnp.zeros_like(ms), prompt_emb
+                    ),
+                )
+                res = DPMSolver(wrapped, self.nsvp).sample(
+                    jax.random.normal(rng, shape),
+                    steps=steps or 50, order=2, skip_type="logSNR",
+                    method="multistep",
+                )
+            else:  # dpm++ / dpm++_noise
+                wrapped = WrappedModel(denoise, model_type=self.model_type)
+                solver = DPMSolver(wrapped, self.nsvp)
+                if method == "dpm++":
+                    res = solver.sample(
+                        jax.random.normal(rng, shape),
+                        steps=steps or 30, order=3, skip_type="logSNR",
+                        method="singlestep", denoise_to_zero=True,
+                    )
+                elif method == "dpm++_noise":
+                    res = solver.sample(
+                        jax.random.normal(rng, shape),
+                        steps=steps or 50, order=3, skip_type="logSNR",
+                        method="multistep", denoise_to_zero=True,
+                    )
+                else:
+                    raise ValueError(f"unknown sampler {method!r}")
+            return jnp.clip(res2img(res, ms), 0.0, 1.0)
+
+        return jax.jit(run)
 
     # -- public sampling API -------------------------------------------------
 
@@ -85,72 +138,19 @@ class Pansharpener:
         steps: Optional[int] = None,
         guidance: float = 3.0,
         legacy_noise_inversion: bool = False,
+        params=None,
     ) -> np.ndarray:
-        """Pansharpen one batch {PAN, MS[, Res]} → images in [0, 1]."""
+        """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1]."""
         pan = jnp.asarray(batch["PAN"])
         ms = jnp.asarray(batch["MS"])
-        shape = ms.shape
-        rng = jax.random.key(seed)
-        prompt_emb = self.prompt_embedding(sensor)
-        denoise = self._denoise_fn(prompt_emb, pan, ms)
-
-        if method == "ancestral":
-            res = gaussian.ancestral_sample(
-                denoise, self.ns, rng, pan, ms, shape,
-                legacy_noise_inversion=legacy_noise_inversion,
+        key = (method, steps, guidance, legacy_noise_inversion)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(
+                method, steps, guidance, legacy_noise_inversion
             )
-        elif method in ("dpm++", "dpm++_noise", "dpm++_cfg"):
-            if method == "dpm++_cfg":
-                # Classifier-free guidance over the MS conditioning
-                # (`sample_by_dpmsolver_guidance`, diffusion_general.py:300-321).
-                # Both branches' conditional features are time-independent, so
-                # each is encoded once; the CFG wrapper tree-concatenates the
-                # cached feature pytrees along batch.
-                encode = lambda ms_in: self.model.apply(
-                    self.params, pan, ms_in, prompt_emb,
-                    method=self.model.encode_condition,
-                )
-
-                def denoise_cached(x, t, cache):
-                    return self.model.apply(
-                        self.params, x, t, cache, method=self.model.denoise
-                    )
-
-                wrapped = WrappedModel(
-                    denoise_cached,
-                    model_type=self.model_type,
-                    guidance_type="classifier-free",
-                    guidance_scale=guidance,
-                    condition=encode(ms),
-                    unconditional_condition=encode(jnp.zeros_like(ms)),
-                )
-                solver = DPMSolver(wrapped, self.nsvp)
-                res = solver.sample(
-                    jax.random.normal(rng, shape),
-                    steps=steps or 50, order=2, skip_type="logSNR",
-                    method="multistep",
-                )
-            else:
-                wrapped = WrappedModel(
-                    lambda x, t: denoise(x, t, pan, ms),
-                    model_type=self.model_type,
-                )
-                solver = DPMSolver(wrapped, self.nsvp)
-                if method == "dpm++":
-                    res = solver.sample(
-                        jax.random.normal(rng, shape),
-                        steps=steps or 30, order=3, skip_type="logSNR",
-                        method="singlestep", denoise_to_zero=True,
-                    )
-                else:
-                    res = solver.sample(
-                        jax.random.normal(rng, shape),
-                        steps=steps or 50, order=3, skip_type="logSNR",
-                        method="multistep", denoise_to_zero=True,
-                    )
-        elif method == "regression":
-            res = gaussian.regression_sample(denoise, rng, pan, ms, shape)
-        else:
-            raise ValueError(f"unknown sampler {method!r}")
-
-        return np.asarray(jnp.clip(res2img(res, ms), 0.0, 1.0))
+        prompt_emb = self.prompt_embedding(sensor)
+        out = self._compiled[key](
+            params if params is not None else self.params,
+            pan, ms, prompt_emb, seed,
+        )
+        return np.asarray(out)
