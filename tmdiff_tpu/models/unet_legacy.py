@@ -62,11 +62,16 @@ class TransposedUpStage(nn.Module):
         bias = self.param("up_bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         # Matches ConvTranspose3d(k=3, stride=(1,2,2), padding=(1,0,0),
-        # output_padding=(0,1,1)): band size preserved, spatial ×2.
+        # output_padding=(0,1,1)): torch pad p / output_padding op map to
+        # lax.conv_transpose padding (k-1-p, k-1-p+op) per dim → depth (1,1),
+        # spatial (2,3); transpose_kernel=True reproduces torch's
+        # gradient-of-conv semantics and expects (spatial, out, in) layout
+        # (empirically pinned by tests/test_unet_legacy.py goldens).
         out = lax.conv_transpose(
-            h, kernel.astype(h.dtype), strides=(1, 2, 2),
-            padding=((1, 1), (0, 1), (0, 1)),
+            h, kernel.astype(h.dtype).swapaxes(-1, -2), strides=(1, 2, 2),
+            padding=((1, 1), (2, 3), (2, 3)),
             dimension_numbers=DIMENSION_NUMBERS_3D,
+            transpose_kernel=True,
         )
         return out + bias.astype(out.dtype)
 

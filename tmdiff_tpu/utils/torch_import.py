@@ -71,6 +71,13 @@ def _torch_key(path: tuple[str, ...]) -> tuple[str, str]:
         base = ".".join(mods) + ".0"
         return (base + ".weight", "conv") if leaf == "kernel" else (base + ".bias", "none")
 
+    # Legacy transpose-conv up block (unet_util.py ResblockUpOneModulateBEST):
+    # flax holds the kernel/bias directly as up_kernel/up_bias.
+    if leaf == "up_kernel":
+        return ".".join(mods + ["up1"]) + ".weight", "convtranspose"
+    if leaf == "up_bias":
+        return ".".join(mods + ["up1"]) + ".bias", "none"
+
     # Plain convs (conv20, Conv_0, Conv_2, res_conv, ...)
     base = ".".join(mods)
     if leaf == "kernel":
@@ -81,6 +88,9 @@ def _torch_key(path: tuple[str, ...]) -> tuple[str, str]:
 def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
     if kind == "conv":
         return np.transpose(arr, (2, 3, 4, 1, 0))
+    if kind == "convtranspose":
+        # torch ConvTranspose3d weight (in, out, kd, kh, kw) → (kd, kh, kw, in, out)
+        return np.transpose(arr, (2, 3, 4, 0, 1))
     if kind == "linear":
         return np.transpose(arr, (1, 0))
     return arr

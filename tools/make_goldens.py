@@ -244,6 +244,77 @@ def golden_dpm_solver():
     print("dpm solver goldens written")
 
 
+def golden_dynamic_conv():
+    """Reference Dynamic_conv3d forward + weights for transplant parity."""
+    from core.dynamic_conv import Dynamic_conv3d
+
+    torch.manual_seed(7)
+    m = Dynamic_conv3d(
+        in_planes=6, out_planes=5, kernel_size=3, ratio=0.25,
+        stride=1, padding=1, K=4, temperature=31,
+    )
+    m.eval()
+    x = torch.from_numpy(rng.standard_normal((3, 6, 4, 8, 8)).astype(np.float32))
+    with torch.no_grad():
+        y = m(x)
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    np.savez(
+        os.path.join(OUT, "dynamic_conv.npz"),
+        x=x.numpy(), y=y.numpy(), temperature=np.array(31.0),
+        **{"sd." + k: v for k, v in sd.items()},
+    )
+    print("dynamic conv goldens written")
+
+
+def golden_kernel_adaption():
+    """Reference Gaussian/free PSF degradations."""
+    from core.kernelAdaption import EntireKernel, GaussianKernel, kernel_generator
+
+    torch.manual_seed(9)
+    q = 5 * torch.eye(2) + 0.3 * torch.randn(2, 2)
+    psf = kernel_generator(q, kernel_size=5, scale_factor=4).numpy()[0, 0]
+
+    z = torch.from_numpy(rng.standard_normal((2, 4, 32, 32)).astype(np.float32))
+    gk = GaussianKernel(kernel_size=5, bands=4, scale_factor=4)
+    with torch.no_grad():
+        gk_out = gk(z)
+    ek = EntireKernel(kernel_size=4, bands=4, scale_factor=4)
+    with torch.no_grad():
+        ek_out = ek(z)
+    np.savez(
+        os.path.join(OUT, "kernel_adaption.npz"),
+        q=q.numpy(), psf=psf, z=z.numpy(),
+        gk_param=gk.KernelParam.detach().numpy(), gk_out=gk_out.numpy(),
+        ek_param=ek.KernelAdaption.detach().numpy(), ek_out=ek_out.numpy(),
+    )
+    print("kernel adaption goldens written")
+
+
+def golden_unet_legacy():
+    """Legacy strided-conv down / transpose-conv up blocks (unet_util.py)."""
+    from GeneralModel import unet_util as uu
+
+    torch.manual_seed(11)
+    down = uu.ResblockDownOneModulateBEST(4, 6, embed_dim=8)
+    up = uu.ResblockUpOneModulateBEST(6, 6, embed_dim=8)
+    down.eval(); up.eval()
+    x = torch.from_numpy(rng.standard_normal((2, 4, 4, 16, 16)).astype(np.float32))
+    embed = torch.from_numpy(rng.standard_normal((2, 8)).astype(np.float32))
+    ctx = torch.from_numpy(rng.standard_normal((2, 8)).astype(np.float32))
+    xu = torch.from_numpy(rng.standard_normal((2, 6, 4, 7, 7)).astype(np.float32))
+    with torch.no_grad():
+        y_down = down(x, embed, ctx)
+        y_up = up(xu, embed, xu.clone(), xu.clone(), ctx)
+    np.savez(
+        os.path.join(OUT, "unet_legacy.npz"),
+        x=x.numpy(), embed=embed.numpy(), ctx=ctx.numpy(), xu=xu.numpy(),
+        y_down=y_down.numpy(), y_up=y_up.numpy(),
+        **{"down." + k: v.numpy() for k, v in down.state_dict().items()},
+        **{"up." + k: v.numpy() for k, v in up.state_dict().items()},
+    )
+    print("unet legacy goldens written; down", y_down.shape, "up", y_up.shape)
+
+
 if __name__ == "__main__":
     golden_dwt()
     golden_schedules()
@@ -251,3 +322,6 @@ if __name__ == "__main__":
     golden_modulated_conv()
     golden_wavbest()
     golden_dpm_solver()
+    golden_dynamic_conv()
+    golden_kernel_adaption()
+    golden_unet_legacy()
