@@ -22,15 +22,25 @@ class DownSamplingBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.features, (3, 3), strides=(2, 2), name="Conv")(x)
+        # torch Conv2d(k=3, stride=2, padding=1) pads symmetrically; flax
+        # "SAME" at stride 2 would pad (0, 1) and shift every window.
+        h = nn.Conv(
+            self.features, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), name="Conv",
+        )(x)
         return nn.max_pool(h, (2, 2), strides=(2, 2))
 
 
 class _BandProjection(nn.Module):
-    """Per-band Linear(VecLen → L) + per-band LayerNorm, vectorised."""
+    """Per-band Linear(VecLen → L) + per-band LayerNorm, vectorised.
+
+    The reference keeps a ModuleList of Sequential(Linear, LayerNorm) per
+    band (`PGCU.py:53-55`); here one einsum over a stacked (bands, VecLen, L)
+    tensor with per-band norm scale/bias — same parameters, one MXU call."""
 
     bands: int
     band_vec_len: int
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):  # (..., VecLen) -> (..., bands, L)
@@ -44,7 +54,18 @@ class _BandProjection(nn.Module):
             jnp.float32,
         )
         h = jnp.einsum("...v,cvl->...cl", x, w) + b
-        return nn.LayerNorm(feature_axes=-1, name="norm")(h)
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.var(h, axis=-1, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param(
+            "norm_scale", nn.initializers.ones,
+            (self.bands, self.band_vec_len), jnp.float32,
+        )
+        shift = self.param(
+            "norm_bias", nn.initializers.zeros,
+            (self.bands, self.band_vec_len), jnp.float32,
+        )
+        return h * scale + shift
 
 
 class PGCU(nn.Module):

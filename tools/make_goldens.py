@@ -315,6 +315,52 @@ def golden_unet_legacy():
     print("unet legacy goldens written; down", y_down.shape, "up", y_up.shape)
 
 
+def golden_attention():
+    """Reference CrossAttention (self + cross) and SpatialSelfAttention."""
+    from core import Attention as A
+
+    torch.manual_seed(13)
+    ca = A.CrossAttention(query_dim=32, context_dim=24, heads=4, dim_head=8)
+    sa = A.CrossAttention(query_dim=32, heads=4, dim_head=8)  # self-attn
+    ssa = A.SpatialSelfAttention(in_channels=64)
+    ca.eval(); sa.eval(); ssa.eval()
+    x = torch.from_numpy(rng.standard_normal((2, 10, 32)).astype(np.float32))
+    ctx = torch.from_numpy(rng.standard_normal((2, 6, 24)).astype(np.float32))
+    img = torch.from_numpy(rng.standard_normal((1, 64, 8, 8)).astype(np.float32))
+    with torch.no_grad():
+        y_cross = ca(x, ctx)
+        y_self = sa(x)
+        y_ssa = ssa(img)
+    np.savez(
+        os.path.join(OUT, "attention.npz"),
+        x=x.numpy(), ctx=ctx.numpy(), img=img.numpy(),
+        y_cross=y_cross.numpy(), y_self=y_self.numpy(), y_ssa=y_ssa.numpy(),
+        **{"ca." + k: v.numpy() for k, v in ca.state_dict().items()},
+        **{"sa." + k: v.numpy() for k, v in sa.state_dict().items()},
+        **{"ssa." + k: v.numpy() for k, v in ssa.state_dict().items()},
+    )
+    print("attention goldens written")
+
+
+def golden_pgcu():
+    """Reference PGCU forward + full state dict for transplant."""
+    from utils.PGCU import PGCU
+
+    torch.manual_seed(17)
+    m = PGCU(Channel=4, VecLen=128, NumberBlocks=3)
+    m.eval()
+    pan = torch.from_numpy(rng.standard_normal((1, 1, 64, 64)).astype(np.float32))
+    ms = torch.from_numpy(rng.standard_normal((1, 4, 16, 16)).astype(np.float32))
+    with torch.no_grad():
+        y = m(pan, ms)
+    np.savez(
+        os.path.join(OUT, "pgcu.npz"),
+        pan=pan.numpy(), ms=ms.numpy(), y=y.numpy(),
+        **{"sd." + k: v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("pgcu goldens written; out", y.shape)
+
+
 if __name__ == "__main__":
     golden_dwt()
     golden_schedules()
@@ -325,3 +371,5 @@ if __name__ == "__main__":
     golden_dynamic_conv()
     golden_kernel_adaption()
     golden_unet_legacy()
+    golden_attention()
+    golden_pgcu()
