@@ -112,11 +112,13 @@ def main(argv=None):
         sensor0, ds0 = next(iter(val_sets.items()))
         first_batch, first_sensor = ds0.batch(np.arange(1)), sensor0
 
-    sharp_proto = Pansharpener(
+    # One facade instance: prompt table + jitted sampler cache reused across
+    # the run; per-call params select online vs EMA weights.
+    sharp = Pansharpener(
         model, params=None,
         schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
     )
-    prompt_emb = np.asarray(sharp_proto.prompt_embedding(first_sensor))
+    prompt_emb = np.asarray(sharp.prompt_embedding(first_sensor))
     state = trainer.init_state(first_batch, prompt_emb)
 
     resume = opt["path"]["resume"]
@@ -132,9 +134,8 @@ def main(argv=None):
     logger.info("Initial Model Finished")
 
     def run_validation(state):
-        sharp = Pansharpener(
-            model, state.ema_params if train_opt.get("use_ema_eval") else state.params,
-            schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
+        eval_params = (
+            state.ema_params if train_opt.get("use_ema_eval") else state.params
         )
         for sensor, ds in val_sets.items():
             scores = validate(
@@ -142,6 +143,7 @@ def main(argv=None):
                 result_dir=os.path.join(opt["path"]["results"], sensor),
                 method=args.sampler,
                 max_images=int(opt.get("val_max_images") or -1),
+                params=eval_params,
             )
             logger.info(f"step {int(state.step)} {sensor} {scores}")
             print(int(state.step), sensor, scores)
@@ -152,7 +154,7 @@ def main(argv=None):
         val_freq = train_opt.get("val_freq", 5000)
         while current_step < max_iter:
             batch, sensor = next(mixer)
-            emb = np.asarray(sharp_proto.prompt_embedding(sensor))
+            emb = np.asarray(sharp.prompt_embedding(sensor))
             state, metrics = trainer.train_step(state, batch, emb)
             current_step += 1
             if current_step % print_freq == 0:

@@ -34,6 +34,7 @@ def validate(
     save_mat: bool = True,
     full_suite: bool = False,
     seed: int = 0,
+    params=None,
 ) -> dict:
     n = len(dataset) if max_images <= 0 else min(max_images, len(dataset))
     if result_dir:
@@ -45,7 +46,7 @@ def validate(
         idx = np.arange(start, min(start + batch_size, n))
         batch = dataset.batch(idx)
         preds = sharpener.sample(batch, sensor=sensor, method=method,
-                                 seed=seed + start)
+                                 seed=seed + start, params=params)
         for b in range(preds.shape[0]):
             pred_hwc = np.transpose(preds[b], (1, 2, 0))
             gt_hwc = np.transpose(batch["HR"][b], (1, 2, 0))

@@ -64,7 +64,15 @@ class Conv3d(nn.Module):
 
 class ModConv3d(nn.Module):
     """3-D conv whose weights are modulated per input channel by a style
-    vector projected from the prompt embedding (no bias, no demodulation)."""
+    vector projected from the prompt embedding (no bias, no demodulation).
+
+    Init deviation (documented): the style projection's bias initialises to
+    ONE (StyleGAN convention) so styles start near identity. With zero bias
+    the styles start near zero and every modulated branch — and its
+    gradients — is attenuated to ~nothing at init (exactly zero for a zero
+    prompt embedding); the reference's torch Linear init draws a small
+    random bias and suffers the same near-dead start. Transplanted
+    checkpoints are unaffected (the bias is overwritten)."""
 
     features: int
     kernel_size: Sequence[int] = (3, 3, 3)
@@ -79,7 +87,10 @@ class ModConv3d(nn.Module):
             (*self.kernel_size, cin, self.features),
             jnp.float32,
         )
-        style = nn.Dense(cin, name="style", dtype=self.dtype)(zemb)
+        style = nn.Dense(
+            cin, name="style", dtype=self.dtype,
+            bias_init=nn.initializers.ones,
+        )(zemb)
         return modulated_conv3d(x, kernel.astype(self.dtype), style)
 
 
