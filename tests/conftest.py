@@ -18,6 +18,10 @@ if not os.environ.get("TMDIFF_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # NOTE: do NOT enable jax's persistent compilation cache here — XLA:CPU
+    # caches AOT code keyed loosely enough that entries compiled on one host
+    # microarchitecture load on another and can SIGILL (observed: cached
+    # avx512 'prefer-no-scatter' builds loading on a host without them).
 
 import numpy as np
 import pytest

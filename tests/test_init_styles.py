@@ -1,0 +1,55 @@
+"""init_type styles (normal / kaiming / orthogonal) parity semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmdiff_tpu.models import WavBEST
+from tmdiff_tpu.models.init_styles import apply_init_style
+
+
+@pytest.fixture(scope="module")
+def params():
+    m = WavBEST(channels=(4, 8, 8, 16))
+    x = jnp.ones((1, 4, 16, 16))
+    return m.init(jax.random.key(0), x, jnp.array([1]), jnp.ones((1, 1, 16, 16)),
+                  x, jnp.zeros(768))
+
+
+def _leaves(p):
+    return {
+        "/".join(str(k.key) for k in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(p)[0]
+    }
+
+
+def test_normal(params):
+    out = _leaves(apply_init_style(params, "normal", jax.random.key(1)))
+    k = out["params/middle1/conv20/kernel"]
+    assert abs(k.std() - 0.02) < 0.005
+    assert out["params/middle1/conv20/bias"].sum() == 0
+
+
+def test_orthogonal(params):
+    out = _leaves(apply_init_style(params, "orthogonal", jax.random.key(1)))
+    k = out["params/embed/lin0/kernel"]  # (32, 128): rows orthonormal
+    gram = k @ k.T
+    np.testing.assert_allclose(gram, np.eye(k.shape[0]), atol=1e-5)
+
+
+def test_kaiming_quirk(params):
+    """kaiming touches Linear (Dense) only — conv kernels keep their init
+    (the reference matches classname 'Conv2d', never 'Conv3d')."""
+    before = _leaves(params)
+    out = _leaves(apply_init_style(params, "kaiming", jax.random.key(1)))
+    conv = "params/middle1/conv20/kernel"
+    dense = "params/embed/lin0/kernel"
+    np.testing.assert_array_equal(out[conv], before[conv])
+    assert not np.allclose(out[dense], before[dense])
+    fan_in = before[dense].shape[0]
+    assert abs(out[dense].std() - np.sqrt(2.0 / fan_in)) < 0.03
+
+
+def test_unknown_style(params):
+    with pytest.raises(NotImplementedError):
+        apply_init_style(params, "xavier", jax.random.key(0))

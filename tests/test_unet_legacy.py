@@ -47,3 +47,20 @@ def test_transposed_up_golden(fixture):
     params = import_state_dict(up_sd, params, prefix="")
     y = m.apply(params, xu, temb, zemb, xu, xu)
     np.testing.assert_allclose(np.asarray(y), _to_dhwc(g["y_up"]), atol=2e-4)
+
+
+def test_legacy_unet_assembled(rng):
+    """Full legacy-family model runs end to end and shape-round-trips."""
+    from tmdiff_tpu.models.legacy_unet import LegacyUNet
+
+    m = LegacyUNet(channels=(4, 8, 8, 16))
+    B, bands, H, W = 1, 4, 32, 32
+    x = jnp.asarray(rng.standard_normal((B, bands, H, W)), jnp.float32)
+    t = jnp.array([7])
+    pan = jnp.asarray(rng.standard_normal((B, 1, H, W)), jnp.float32)
+    ms = jnp.asarray(rng.standard_normal((B, bands, H, W)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal(768), jnp.float32)
+    params = m.init(jax.random.key(0), x, t, pan, ms, emb)
+    out = m.apply(params, x, t, pan, ms, emb)
+    assert out.shape == (B, bands, H, W)
+    assert bool(jnp.isfinite(out).all())

@@ -121,6 +121,17 @@ def main(argv=None):
     prompt_emb = np.asarray(sharp.prompt_embedding(first_sensor))
     state = trainer.init_state(first_batch, prompt_emb)
 
+    init_type = opt["model"]["init_type"]
+    if args.phase == "train" and init_type:
+        import jax
+        from tmdiff_tpu.models.init_styles import apply_init_style
+
+        styled = apply_init_style(state.params, init_type, jax.random.key(7))
+        state = state.replace(
+            params=styled, ema_params=jax.tree.map(lambda x: x.copy(), styled)
+        )
+        logger.info(f"Applied init_type [{init_type}]")
+
     resume = opt["path"]["resume"]
     if resume:
         if resume.endswith(".pth") or os.path.exists(resume + "_gen.pth"):

@@ -1,0 +1,79 @@
+"""Post-init weight re-initialisation styles.
+
+Parity surface: `/root/reference/GeneralModel/networks.py:16-77` — after
+construction, `init_weights` re-initialises the whole network in one of
+three styles selected by `model.init_type`:
+
+  * "normal":     N(0, 0.02) for every Conv* and Linear weight;
+  * "kaiming":    kaiming-normal fan-in — but the classname match is
+                  'Conv2d'/'Linear', so the reference's Conv3d layers KEEP
+                  their torch default init and only Linear layers change
+                  (reference quirk, reproduced);
+  * "orthogonal": orthogonal(gain=1) for every Conv* and Linear weight.
+
+Biases zero in all styles. Applied to a flax param tree by leaf-name
+heuristics: Dense kernels are rank-2 'kernel' leaves, conv kernels rank>2.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _orthogonal(rng, shape, dtype):
+    flat = (int(np.prod(shape[:-1])), shape[-1])
+    a = jax.random.normal(rng, flat, dtype)
+    q, r = jnp.linalg.qr(a if flat[0] >= flat[1] else a.T)
+    q = q * jnp.sign(jnp.diagonal(r))[None, :]
+    if flat[0] < flat[1]:
+        q = q.T
+    return q.reshape(shape).astype(dtype)
+
+
+def _kaiming_normal_fan_in(rng, shape, dtype):
+    # torch kaiming_normal_(a=0, fan_in) on Linear weight (out, in):
+    # std = sqrt(2 / fan_in); flax Dense kernel is (in, out) → fan_in = shape[0].
+    fan_in = shape[0]
+    return jax.random.normal(rng, shape, dtype) * jnp.sqrt(2.0 / fan_in)
+
+
+def apply_init_style(params, init_type: str, rng: jax.Array):
+    """Re-initialise a flax param tree in the reference's style. Returns a
+    new tree; unknown leaves (biases, norms, tables) are zeroed/kept per the
+    rules above."""
+    if init_type not in ("normal", "kaiming", "orthogonal"):
+        raise NotImplementedError(init_type)
+
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    new = {}
+    for i, (path, leaf) in enumerate(leaves):
+        key = tuple(str(p.key) for p in path)
+        name = key[-1]
+        sub = jax.random.fold_in(rng, i)
+        if name == "bias":
+            # Keep modulation-style biases at 1 (see ModConv3d): zeroing them
+            # (as the reference's init does) re-creates the near-dead-start
+            # failure mode guarded by tests/test_grad_health.py.
+            if len(key) >= 2 and key[-2] == "style":
+                new[key] = jnp.ones_like(leaf)
+            else:
+                new[key] = jnp.zeros_like(leaf)
+        elif name in ("kernel", "kernels", "up_kernel") and leaf.ndim >= 2:
+            is_dense = leaf.ndim == 2
+            if init_type == "normal":
+                new[key] = jax.random.normal(sub, leaf.shape, leaf.dtype) * 0.02
+            elif init_type == "orthogonal":
+                new[key] = _orthogonal(sub, leaf.shape, leaf.dtype)
+            else:  # kaiming — reference quirk: only Linear layers change
+                if is_dense:
+                    new[key] = _kaiming_normal_fan_in(sub, leaf.shape, leaf.dtype)
+                else:
+                    new[key] = leaf
+        else:
+            new[key] = leaf
+
+    def rebuild(path, leaf):
+        return new[tuple(str(p.key) for p in path)]
+
+    return jax.tree_util.tree_map_with_path(rebuild, params)

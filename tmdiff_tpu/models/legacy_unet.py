@@ -1,0 +1,77 @@
+"""LegacyUNet: the pre-wavelet WavBEST ablation assembled end to end.
+
+The reference keeps the strided-conv/transpose-conv blocks (`unet_util.py`)
+importable but never assembles the full legacy model (every name is shadowed
+by the wavelet variants, `Hyper_unet_general.py:13`). This module completes
+the family: same dual-encoder wiring and conditioning as WavBEST, with
+strided-conv downsampling and transpose-conv upsampling instead of DWT/IDWT
+— useful as an ablation baseline and as documentation of the architecture
+the wavelet design replaced.
+
+Note the legacy blocks' quirky spatial math (VALID stride-2 down: H → H/2−1;
+transpose up maps it back exactly) requires H ≡ 0 (mod 2^3) ≥ 16.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tmdiff_tpu.models.blocks import AdaptionHead, ResBlockModulate, swish
+from tmdiff_tpu.models.unet_legacy import (
+    LegacyFinalBlock,
+    StridedDownStage,
+    TransposedUpStage,
+)
+from tmdiff_tpu.models.wavbest import PromptMLP, TimeMLP
+from tmdiff_tpu.ops.embedding import gamma_embedding
+
+
+class LegacyUNet(nn.Module):
+    channels: Sequence[int] = (32, 64, 128, 256)
+    embed_dim: int = 128
+    inter_dim: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_t, t, pan, ms, prompt_emb, *, train: bool = False):
+        c0, c1, c2, c3 = self.channels
+        d = self.dtype
+        if prompt_emb.ndim == 1:
+            prompt_emb = jnp.broadcast_to(prompt_emb, (x_t.shape[0], prompt_emb.shape[0]))
+        zemb = swish(PromptMLP(self.embed_dim, name="embed2", dtype=d)(
+            prompt_emb.astype(d)))
+        temb = swish(TimeMLP(self.embed_dim, name="embed", dtype=d)(
+            gamma_embedding(jnp.reshape(t, (-1,)), self.inter_dim).astype(d)))
+
+        cond = (pan - ms).astype(d)[..., None]
+        xt = x_t.astype(d)[..., None]
+
+        c_h0 = AdaptionHead(c0, name="conv1", dtype=d)(cond, zemb)
+        c_h1 = StridedDownStage(c1, name="down1_1", dtype=d)(c_h0, temb, zemb, train=train)
+        c_h2 = StridedDownStage(c2, name="down2_1", dtype=d)(c_h1, temb, zemb, train=train)
+        c_h3 = StridedDownStage(c3, name="down3_1", dtype=d)(c_h2, temb, zemb, train=train)
+
+        x_h0 = AdaptionHead(c0, name="conv2", dtype=d)(xt, zemb)
+        x_h1 = StridedDownStage(c1, name="down1", dtype=d)(x_h0, temb, zemb, train=train)
+        x_h2 = StridedDownStage(c2, name="down2", dtype=d)(x_h1, temb, zemb, train=train)
+        x_h3 = StridedDownStage(c3, name="down3", dtype=d)(x_h2, temb, zemb, train=train)
+
+        def crop_to(h, ref):
+            # The legacy blocks' size math (down: H → (H-1)//2, up: h → 2h+2)
+            # over-shoots by 1-2 pixels per stage; crop to the skip's grid.
+            return h[:, :, : ref.shape[2], : ref.shape[3], :]
+
+        h = ResBlockModulate(c3, name="middle1", dtype=d)(x_h3, temb, zemb, train=train)
+        h = TransposedUpStage(c2, name="up1", dtype=d)(h, temb, zemb, c_h3, x_h3, train=train)
+        h = crop_to(h, c_h2)
+        h = TransposedUpStage(c1, name="up2", dtype=d)(h, temb, zemb, c_h2, x_h2, train=train)
+        h = crop_to(h, c_h1)
+        h = TransposedUpStage(c0, name="up3", dtype=d)(h, temb, zemb, c_h1, x_h1, train=train)
+        h = crop_to(h, xt)
+        h = LegacyFinalBlock(c0, name="final", dtype=d)(
+            jnp.concatenate([h, c_h0, x_h0], axis=-1), temb, zemb, train=train
+        )
+        out = nn.Dense(1, name="out_proj", dtype=d)(h)
+        return out[..., 0].astype(jnp.float32)
