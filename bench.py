@@ -49,10 +49,20 @@ def main():
         out = jax.lax.fori_loop(0, chain_len, body, x)
         return jnp.mean(out)
 
-    # Compile + first run (scalar round-trip only).
-    t0 = time.perf_counter()
-    sink = float(bench_once(0))
-    compile_s = time.perf_counter() - t0
+    # Compile + first run (scalar round-trip only). The dev TPU tunnel is
+    # flaky (remote-compile HTTP hiccups); retry the cold call.
+    last_err = None
+    for attempt in range(3):
+        try:
+            t0 = time.perf_counter()
+            sink = float(bench_once(0))
+            compile_s = time.perf_counter() - t0
+            break
+        except Exception as err:  # pragma: no cover - environment flake
+            last_err = err
+            time.sleep(20)
+    else:
+        raise last_err
 
     reps = 3
     t0 = time.perf_counter()
