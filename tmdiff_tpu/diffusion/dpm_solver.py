@@ -609,7 +609,25 @@ class DPMSolver:
             else:
                 full = self.get_time_steps(skip_type, t_T, t_0, steps)
                 ts_outer = full[np.cumsum([0] + orders)]
-        for step, step_order in enumerate(orders):
+
+        # Scan the uniform order-3 prefix (the bulk of DPM-Solver-fast: 30
+        # steps → 9-10 blocks): one compiled 3-eval body instead of ~30
+        # unrolled UNet graph copies. Supported for the flagship config
+        # (dpmsolver++ / dpmsolver solver_type); other combos unroll below.
+        start = 0
+        n3 = 0
+        while n3 < len(orders) and orders[n3] == 3:
+            n3 += 1
+        if (
+            n3 >= 2
+            and self.algorithm_type == "dpmsolver++"
+            and self.solver_type == "dpmsolver"
+        ):
+            x = self._singlestep3_scan(x, ts_outer[: n3 + 1], skip_type)
+            start = n3
+
+        for step in range(start, len(orders)):
+            step_order = orders[step]
             s, t = float(ts_outer[step]), float(ts_outer[step + 1])
             inner = self.get_time_steps(skip_type, s, t, step_order)
             lam_inner = self.ns.marginal_lambda(inner)
@@ -617,4 +635,67 @@ class DPMSolver:
             r1 = None if step_order <= 1 else float((lam_inner[1] - lam_inner[0]) / h)
             r2 = None if step_order <= 2 else float((lam_inner[2] - lam_inner[0]) / h)
             x = self._singlestep_update(x, s, t, step_order, r1=r1, r2=r2)
+        return x
+
+    def _singlestep3_scan(self, x, ts_blocks, skip_type):
+        """lax.scan over consecutive singlestep order-3 blocks
+        (dpmsolver++ / 'dpmsolver' solver type). All per-block coefficients
+        are stacked static tables; the body runs the 3 model evaluations of
+        `singlestep_dpm_solver_third_update` (`dpm_solver_pytorch.py:693-816`)."""
+        ns = self.ns
+        rows = []
+        for i in range(len(ts_blocks) - 1):
+            s, t = float(ts_blocks[i]), float(ts_blocks[i + 1])
+            inner = self.get_time_steps(skip_type, s, t, 3)
+            lam = ns.marginal_lambda(inner)
+            h = lam[-1] - lam[0]
+            r1 = float((lam[1] - lam[0]) / h)
+            r2 = float((lam[2] - lam[0]) / h)
+            s1 = float(ns.inverse_lambda(lam[0] + r1 * h))
+            s2 = float(ns.inverse_lambda(lam[0] + r2 * h))
+            rows.append(dict(
+                sig_s=float(ns.marginal_std(s)),
+                sig_s1=float(ns.marginal_std(s1)),
+                sig_s2=float(ns.marginal_std(s2)),
+                sig_t=float(ns.marginal_std(t)),
+                al_s1=float(ns.marginal_alpha(s1)),
+                al_s2=float(ns.marginal_alpha(s2)),
+                al_t=float(ns.marginal_alpha(t)),
+                al_s=float(ns.marginal_alpha(s)),
+                phi_11=float(np.expm1(-r1 * h)),
+                phi_12=float(np.expm1(-r2 * h)),
+                phi_1=float(np.expm1(-h)),
+                phi_22=float(np.expm1(-r2 * h) / (r2 * h) + 1.0),
+                phi_2=float(np.expm1(-h) / h + 1.0),
+                r2_over_r1=r2 / r1,
+                inv_r2=1.0 / r2,
+                tin_s=float(ns.model_input_time(s)),
+                tin_s1=float(ns.model_input_time(s1)),
+                tin_s2=float(ns.model_input_time(s2)),
+            ))
+        table = {
+            key: jnp.asarray([row[key] for row in rows], jnp.float32)
+            for key in rows[0]
+        }
+        batch = x.shape[0]
+
+        def body(x, c):
+            tfull = lambda v: jnp.full((batch,), v)
+            m_s = self._eval_with(x, tfull(c["tin_s"]), c["al_s"], c["sig_s"])
+            x_s1 = (c["sig_s1"] / c["sig_s"]) * x - c["al_s1"] * c["phi_11"] * m_s
+            m_s1 = self._eval_with(x_s1, tfull(c["tin_s1"]), c["al_s1"], c["sig_s1"])
+            x_s2 = (
+                (c["sig_s2"] / c["sig_s"]) * x
+                - c["al_s2"] * c["phi_12"] * m_s
+                + c["r2_over_r1"] * c["al_s2"] * c["phi_22"] * (m_s1 - m_s)
+            )
+            m_s2 = self._eval_with(x_s2, tfull(c["tin_s2"]), c["al_s2"], c["sig_s2"])
+            x_new = (
+                (c["sig_t"] / c["sig_s"]) * x
+                - c["al_t"] * c["phi_1"] * m_s
+                + c["inv_r2"] * c["al_t"] * c["phi_2"] * (m_s2 - m_s)
+            )
+            return x_new, None
+
+        x, _ = jax.lax.scan(body, x, table)
         return x
