@@ -128,3 +128,23 @@ class TestPansharpener:
         assert out.shape == batch["MS"].shape
         assert np.isfinite(out).all()
         assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_ancestral_continuous_frames():
+    """Reference `continous=True` mode: intermediate frames returned."""
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.pipeline import Pansharpener
+
+    data = make_arrays(n=1, bands=4, size=16)
+    model = WavBEST(channels=(4, 8, 8, 16))
+    x = jnp.asarray(data["gt"] - data["lms"])
+    params = model.init(
+        jax.random.key(0), x, jnp.array([1]), jnp.asarray(data["pan"]),
+        jnp.asarray(data["lms"]), jnp.zeros(768),
+    )
+    sharp = Pansharpener(model, params, n_timestep=10)
+    batch = {"PAN": data["pan"], "MS": data["lms"]}
+    final, frames = sharp.sample(batch, method="ancestral", num_frames=5)
+    assert final.shape == batch["MS"].shape
+    assert frames.shape[0] == 5 and frames.shape[1:] == batch["MS"].shape
+    assert np.isfinite(frames).all()

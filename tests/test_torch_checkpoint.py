@@ -1,0 +1,42 @@
+"""Reference .pth checkpoint resume path: save a real torch state dict and
+import it through train.checkpoint.import_reference_checkpoint."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_import_reference_pth(tmp_path):
+    torch = pytest.importorskip("torch")
+    from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+    from tmdiff_tpu.train.trainer import Trainer
+
+    g = np.load(os.path.join(GOLDEN, "wavbest.npz"))
+    sd = {
+        # checkpoint keys carry the GeneralDiffusion prefix
+        "denoise_fn." + k[3:]: torch.from_numpy(g[k])
+        for k in g.files if k.startswith("sd.")
+    }
+    pth = tmp_path / "I4200_gen.pth"
+    torch.save(sd, str(pth))
+
+    model = WavBEST(channels=(8, 16, 32, 64))
+    trainer = Trainer(model=model, schedule=NoiseSchedule.create("cosine", 10))
+    batch = {
+        "Res": g["x"], "PAN": g["pan"], "MS": g["ms"],
+    }
+    state = trainer.init_state(batch, g["prompt"])
+    state = ckpt_lib.import_reference_checkpoint(str(pth), state)
+    assert int(state.step) == 4200
+
+    y = model.apply(
+        state.params, jnp.asarray(g["x"]), jnp.asarray(g["t"]),
+        jnp.asarray(g["pan"]), jnp.asarray(g["ms"]), jnp.asarray(g["prompt"]),
+    )
+    np.testing.assert_allclose(np.asarray(y), g["y"], atol=5e-4)

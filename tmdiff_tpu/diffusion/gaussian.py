@@ -117,7 +117,9 @@ def ancestral_sample(
     T = ns.num_timesteps
     rng, rng_init = jax.random.split(rng)
     x_init = jax.random.normal(rng_init, shape)
-    interval = 1 | (T // (num_frames or 10))
+    # (The reference's display interval is the quirky `1 | (T // 10)`,
+    # `p_sample_loop:213`; with an explicit frame count we use exact spacing.)
+    interval = max(1, T // (num_frames or 10))
     n_slots = (T + interval - 1) // interval if num_frames else 0
     frames_init = (
         jnp.zeros((n_slots, *shape), x_init.dtype) if num_frames else None

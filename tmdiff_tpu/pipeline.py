@@ -72,7 +72,7 @@ class Pansharpener:
         return self.model.apply(params, x, t, cache, method=self.model.denoise)
 
     def _build(self, method: str, steps: Optional[int], guidance: float,
-               legacy: bool):
+               legacy: bool, num_frames: Optional[int] = None):
         def run(params, pan, ms, prompt_emb, seed):
             rng = jax.random.fold_in(jax.random.key(0), seed)
             shape = ms.shape
@@ -83,7 +83,14 @@ class Pansharpener:
                 res = gaussian.ancestral_sample(
                     denoise, self.ns, rng, pan, ms, shape,
                     legacy_noise_inversion=legacy,
+                    num_frames=num_frames,
                 )
+                if num_frames:
+                    final, frames = res
+                    return (
+                        jnp.clip(res2img(final, ms), 0.0, 1.0),
+                        jnp.clip(res2img(frames, ms[None]), 0.0, 1.0),
+                    )
             elif method == "regression":
                 res = gaussian.regression_sample(denoise, rng, pan, ms, shape)
             elif method == "dpm++_cfg":
@@ -138,19 +145,27 @@ class Pansharpener:
         steps: Optional[int] = None,
         guidance: float = 3.0,
         legacy_noise_inversion: bool = False,
+        num_frames: Optional[int] = None,
         params=None,
-    ) -> np.ndarray:
-        """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1]."""
+    ):
+        """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
+
+        `num_frames` (ancestral only) additionally returns intermediate
+        snapshots — the reference's `continous=True` mode
+        (`p_sample_loop:210-225`)."""
         pan = jnp.asarray(batch["PAN"])
         ms = jnp.asarray(batch["MS"])
-        key = (method, steps, guidance, legacy_noise_inversion)
+        key = (method, steps, guidance, legacy_noise_inversion, num_frames)
         if key not in self._compiled:
             self._compiled[key] = self._build(
-                method, steps, guidance, legacy_noise_inversion
+                method, steps, guidance, legacy_noise_inversion, num_frames
             )
         prompt_emb = self.prompt_embedding(sensor)
         out = self._compiled[key](
             params if params is not None else self.params,
             pan, ms, prompt_emb, seed,
         )
+        if method == "ancestral" and num_frames:
+            final, frames = out
+            return np.asarray(final), np.asarray(frames)
         return np.asarray(out)
