@@ -21,7 +21,7 @@ def main():
     from tmdiff_tpu.models import WavBEST
     from tmdiff_tpu.models.clip_text import get_prompt_embedding
 
-    batch = 4
+    batch = 8
     bands, H, W = 8, 256, 256
     chain_len = 8
     model = WavBEST(channels=(32, 64, 128, 256), dtype=jnp.bfloat16)
