@@ -78,6 +78,7 @@ def main(argv=None):
 
     opt = parse_config(args.config, phase=args.phase, debug=args.debug)
     logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
+    val_logger = setup_logger("val", opt["path"]["log"], "val")
     logger.info(opt.get("info", opt["name"]))
     logger.info(dict2str(opt))
 
@@ -157,6 +158,7 @@ def main(argv=None):
                 params=eval_params,
             )
             logger.info(f"step {int(state.step)} {sensor} {scores}")
+            val_logger.info(f"step {int(state.step)} {sensor} {scores}")
             print(int(state.step), sensor, scores)
 
     if args.phase == "train":
