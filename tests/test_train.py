@@ -106,3 +106,23 @@ def test_sharded_training_8dev():
     # params replicated, batch sharded
     p0 = jax.tree.leaves(state.params)[0]
     assert p0.sharding.is_fully_replicated
+
+
+def test_training_determinism(setup):
+    """Same seed → bitwise-identical loss trajectory (jax.random threading;
+    the reference's host-numpy RNG in the hot loop cannot guarantee this)."""
+    trainer, it_, emb, make_state = setup
+    from tmdiff_tpu.data import BatchIterator, PanDataset
+    from tmdiff_tpu.data.synthetic import make_arrays
+
+    def run():
+        ds = PanDataset(make_arrays(n=8, bands=4, size=16, seed=0))
+        it = BatchIterator(ds, batch_size=8, seed=0)
+        state = trainer.init_state(next(it), emb)
+        losses = []
+        for _ in range(3):
+            state, m = trainer.train_step(state, next(it), emb)
+            losses.append(float(m["l_pix"]))
+        return losses
+
+    assert run() == run()

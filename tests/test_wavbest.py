@@ -83,3 +83,12 @@ def test_shape_polymorphic_bands(fixture):
         jnp.ones((1, 8, 16, 16)), prompt,
     )
     assert y8.shape == (1, 8, 16, 16)
+
+
+def test_shape_validation_message(fixture):
+    g, sd = fixture
+    model = WavBEST(channels=(8, 16, 32, 64))
+    bad = jnp.ones((1, 4, 20, 20))
+    with pytest.raises(ValueError, match="divisible by 8"):
+        model.init(jax.random.key(0), bad, jnp.array([1]),
+                   jnp.ones((1, 1, 20, 20)), bad, jnp.zeros(768))

@@ -115,6 +115,12 @@ class WavBEST(nn.Module):
 
     def encode_condition(self, pan, ms, prompt_emb, *, train: bool = False):
         """→ dict of cond features + HF skips, constant across diffusion steps."""
+        h, w = ms.shape[-2], ms.shape[-1]
+        if h % 8 or w % 8:
+            raise ValueError(
+                f"WavBEST needs H and W divisible by 8 (three Haar wavelet "
+                f"halvings); got {h}x{w}"
+            )
         zemb = self.prompt_embed(prompt_emb, ms.shape[0])
         cond = (pan - ms).astype(self.dtype)[..., None]
         temb = None  # cond branch never consumes it (use_temb=False)
