@@ -54,3 +54,22 @@ class TestPrefetcher:
         assert next(pf) == 1
         with pytest.raises(RuntimeError, match="worker boom"):
             next(pf)
+
+
+def test_prefetcher_wraps_mixer():
+    """Prefetcher composes with the sensor-mixing pipeline."""
+    from tmdiff_tpu.data import BatchIterator, PanDataset, SensorMixer
+    from tmdiff_tpu.data.synthetic import make_arrays
+
+    mixer = SensorMixer({
+        "QB": BatchIterator(PanDataset(make_arrays(4, size=16, seed=1)), 2),
+        "WV3": BatchIterator(PanDataset(make_arrays(4, size=16, seed=2)), 2),
+    }, seed=0)
+    pf = Prefetcher(mixer, depth=2)
+    seen = set()
+    for _ in range(8):
+        batch, sensor = next(pf)
+        assert batch["Res"].shape == (2, 4, 16, 16)
+        seen.add(sensor)
+    pf.close()
+    assert seen <= {"QB", "WV3"} and seen

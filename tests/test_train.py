@@ -126,3 +126,14 @@ def test_training_determinism(setup):
         return losses
 
     assert run() == run()
+
+
+def test_checkpoint_retention(setup, tmp_path):
+    trainer, it, emb, make_state = setup
+    state = make_state()
+    for _ in range(4):
+        state, _ = trainer.train_step(state, next(it), emb)
+        ckpt_lib.save_checkpoint(str(tmp_path), state, keep=2)
+    kept = sorted(p.name for p in tmp_path.glob("I*"))
+    assert len(kept) == 2
+    assert kept[-1] == f"I{int(state.step)}"

@@ -26,10 +26,22 @@ def _ckpt_path(root: str, step: int) -> str:
     return os.path.join(os.path.abspath(root), f"I{step}")
 
 
-def save_checkpoint(root: str, state: TrainState):
+def save_checkpoint(root: str, state: TrainState, keep: Optional[int] = None):
+    """Atomic orbax save; `keep` prunes to the newest N checkpoints (the
+    reference accumulates unboundedly, `model.py:100-120`)."""
     step = int(state.step)
     with ocp.StandardCheckpointer() as saver:
         saver.save(_ckpt_path(root, step), jax.device_get(state))
+    if keep is not None:
+        steps = sorted(
+            int(m.group(1))
+            for name in os.listdir(root)
+            if (m := re.fullmatch(r"I(\d+)", name))
+        )
+        for old in steps[:-keep]:
+            import shutil
+
+            shutil.rmtree(_ckpt_path(root, old), ignore_errors=True)
     return _ckpt_path(root, step)
 
 
