@@ -8,7 +8,7 @@ from tmdiff_tpu.diffusion.schedules import make_beta_schedule
 log = open("/dev/stdout", "a")
 def P(*a): print(*a, file=log, flush=True)
 
-B, bands, H, W = 4, 8, 256, 256
+B, bands, H, W = 8, 8, 256, 256
 model = WavBEST(channels=(32, 64, 128, 256), dtype=jnp.bfloat16)
 emb = jnp.asarray(get_prompt_embedding("WV3"))
 nsvp = NoiseScheduleVP("discrete", betas=make_beta_schedule("cosine", 1000))

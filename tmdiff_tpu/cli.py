@@ -154,6 +154,7 @@ def main(argv=None):
                 sharp, ds, sensor,
                 result_dir=os.path.join(opt["path"]["results"], sensor),
                 method=args.sampler,
+                batch_size=int(opt.get("val_batch_size") or 4),
                 max_images=int(opt.get("val_max_images") or -1),
                 params=eval_params,
             )
