@@ -108,3 +108,26 @@ def test_pgcu_golden():
     y = m.apply({"params": params}, pan, ms)
     ref = np.moveaxis(g["y"], 1, -1)
     np.testing.assert_allclose(np.asarray(y), ref, atol=5e-4)
+
+
+def test_channel_attention_golden():
+    """NCSN++ AttnBlockpp transplant: the reference folds (C, N) bands into
+    channels before attention; ours takes the folded channels-last map."""
+    from tmdiff_tpu.ops.attention import ChannelSelfAttention
+
+    g = np.load(os.path.join(GOLDEN, "attnpp.npz"))
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+    b, c_, n, h, w = g["x"].shape
+    # (B, C, N, H, W) -> folded (B, C*N, H, W) -> channels-last (B, H, W, 64)
+    x = jnp.asarray(np.moveaxis(g["x"].reshape(b, c_ * n, h, w), 1, -1))
+    m = ChannelSelfAttention(skip_rescale=True)
+    params = {"params": {
+        "GroupNorm_0": {"scale": sd["GroupNorm_0.weight"],
+                        "bias": sd["GroupNorm_0.bias"]},
+        # NIN.W is (in, units) == flax Dense kernel layout directly
+        **{f"NIN_{i}": {"kernel": sd[f"NIN_{i}.W"], "bias": sd[f"NIN_{i}.b"]}
+           for i in range(4)},
+    }}
+    y = m.apply(params, x)
+    ref = np.moveaxis(g["y"].reshape(b, c_ * n, h, w), 1, -1)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=3e-5)

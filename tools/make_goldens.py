@@ -342,6 +342,26 @@ def golden_attention():
     print("attention goldens written")
 
 
+def golden_attnpp():
+    """NCSN++ AttnBlockpp channel-folded spatial attention
+    (`Hyper_unet_general.py:483-515`)."""
+    import GeneralModel.Hyper_unet_general as ref_unet
+
+    torch.manual_seed(19)
+    m = ref_unet.AttnBlockpp(channels=64, skip_rescale=True)
+    m.eval()
+    # reference input is 5-D band-as-depth; C*N folds to 64
+    x = torch.from_numpy(rng.standard_normal((2, 16, 4, 8, 8)).astype(np.float32))
+    with torch.no_grad():
+        y = m(x)
+    np.savez(
+        os.path.join(OUT, "attnpp.npz"),
+        x=x.numpy(), y=y.numpy(),
+        **{"sd." + k: v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("attnpp goldens written; out", y.shape)
+
+
 def golden_pgcu():
     """Reference PGCU forward + full state dict for transplant."""
     from utils.PGCU import PGCU
@@ -372,4 +392,5 @@ if __name__ == "__main__":
     golden_kernel_adaption()
     golden_unet_legacy()
     golden_attention()
+    golden_attnpp()
     golden_pgcu()
