@@ -3,9 +3,16 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmdiff_tpu.ops.embedding import gamma_embedding
-from tmdiff_tpu.ops.modconv import conv3d, modulated_conv3d
+from tmdiff_tpu.ops.modconv import (
+    _bandlanes_wins,
+    _conv3d_bandlanes,
+    _conv3d_fold2d,
+    conv3d,
+    modulated_conv3d,
+)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -28,6 +35,33 @@ def test_modulated_conv_golden():
     y = modulated_conv3d(x, w, s)
     ref = np.moveaxis(g["y"], 1, -1)
     np.testing.assert_allclose(y, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "d,cin,cout,kd",
+    [(8, 4, 6, 3), (4, 3, 5, 1), (8, 2, 3, 5), (3, 4, 4, 3), (1, 4, 4, 3)],
+)
+def test_bandlanes_matches_fold2d(rng, d, cin, cout, kd):
+    """Band-into-lanes lowering (dense block-banded kernel over (B,H,W,D·C))
+    must agree with the batch-folded lowering for every depth/tap combo."""
+    x = jnp.asarray(rng.standard_normal((2, d, 6, 6, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kd, 3, 3, cin, cout)), jnp.float32)
+    np.testing.assert_allclose(
+        _conv3d_bandlanes(x, k), _conv3d_fold2d(x, k), atol=1e-4
+    )
+
+
+def test_bandlanes_heuristic():
+    """auto picks bandlanes exactly where the lane-utilisation gain beats the
+    D/kd FLOP blow-up: outer UNet levels (C=32 @ D=8; C=32/64 @ D=4) win,
+    inner levels and 1-tap convs don't."""
+    assert _bandlanes_wins(d=8, kd=3, cout=32)
+    assert not _bandlanes_wins(d=8, kd=3, cout=64)
+    assert _bandlanes_wins(d=4, kd=3, cout=32)
+    assert _bandlanes_wins(d=4, kd=3, cout=64)
+    assert not _bandlanes_wins(d=8, kd=3, cout=128)
+    assert not _bandlanes_wins(d=8, kd=1, cout=32)
+    assert not _bandlanes_wins(d=1, kd=3, cout=32)
 
 
 def test_modulated_equals_scaling(rng):

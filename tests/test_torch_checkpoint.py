@@ -32,7 +32,21 @@ def test_import_reference_pth(tmp_path):
         "Res": g["x"], "PAN": g["pan"], "MS": g["ms"],
     }
     state = trainer.init_state(batch, g["prompt"])
-    state = ckpt_lib.import_reference_checkpoint(str(pth), state)
+    # The golden transplants a random-init torch model driven by our own
+    # exported embedding — structural parity, no CLIP-fidelity claim, so the
+    # placeholder-table guard is explicitly waived here (and verified to fire
+    # without the waiver).
+    if not os.path.exists(
+        os.path.join(os.path.dirname(ckpt_lib.__file__), "..",
+                     "models", "prompt_embeddings.npz")
+    ):
+        with pytest.raises(RuntimeError, match="real CLIP"):
+            ckpt_lib.import_reference_checkpoint(str(pth), state)
+    os.environ["TMDIFF_ALLOW_FAKE_CLIP"] = "1"
+    try:
+        state = ckpt_lib.import_reference_checkpoint(str(pth), state)
+    finally:
+        del os.environ["TMDIFF_ALLOW_FAKE_CLIP"]
     assert int(state.step) == 4200
 
     y = model.apply(

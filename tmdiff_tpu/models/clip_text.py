@@ -130,6 +130,28 @@ def get_prompt_embedding(sensor: str) -> np.ndarray:
     return table[index[sensor]]
 
 
+def is_real_clip() -> bool:
+    return load_prompt_table()[2]
+
+
+def require_real_clip(context: str) -> None:
+    """Guard for reference-parity claims: anything whose correctness depends
+    on the TRUE CLIP conditioning vectors (importing a trained reference
+    checkpoint for metric comparison, claiming SAM/ERGAS-within-1% parity)
+    must call this and fail loudly while the shipped table is the
+    placeholder. Override with TMDIFF_ALLOW_FAKE_CLIP=1 for structural
+    (shape/transplant-mechanics) work that doesn't claim fidelity."""
+    if is_real_clip() or os.environ.get("TMDIFF_ALLOW_FAKE_CLIP"):
+        return
+    raise RuntimeError(
+        f"{context} requires the real CLIP prompt-embedding table, but "
+        f"{_TABLE_PATH} is absent/placeholder (is_real_clip=False). "
+        "Regenerate with tools/export_clip_embeddings.py against "
+        "openai/clip-vit-large-patch14 (needs network or a local checkpoint), "
+        "or set TMDIFF_ALLOW_FAKE_CLIP=1 to proceed WITHOUT fidelity claims."
+    )
+
+
 def encode_prompts_live(model_path: str, layer: str = "pooled") -> np.ndarray:
     """Host-side HF transformers CLIP text encoding (reference
     `core/clip.py:15-59` semantics: max_length 77, pooled output)."""

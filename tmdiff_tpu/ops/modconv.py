@@ -26,15 +26,61 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import numpy as np
+
 # (batch, spatial..., features) / (spatial..., in, out)
 DIMENSION_NUMBERS_3D = ("NDHWC", "DHWIO", "NDHWC")
 DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 
-# 3-D conv lowering: "fold2d" rewrites the depth(band)-axis taps as channel
-# blocks of ONE 2-D NHWC conv (bands folded into batch) — the shape XLA maps
-# best onto the MXU; "lax" is the direct 3-D convolution. Same math, see
-# `_conv3d_fold2d`. Selectable for benchmarking.
+# 3-D conv lowering:
+#   "fold2d"    — depth(band)-axis taps become channel blocks of ONE 2-D NHWC
+#                 conv with bands folded into *batch* (B·D, H, W, kd·C).
+#   "bandlanes" — bands folded into *lanes* (B, H, W, D·C) with a dense
+#                 block-banded (kh, kw, D·Cin, D·Cout) kernel: D/kd× the true
+#                 FLOPs, but fills all 128 MXU output lanes when Cout < 128.
+#   "auto"      — per-call choice between the two by predicted MXU-lane
+#                 efficiency (see `_bandlanes_wins`).
+#   "lax"       — XLA's native 3-D convolution.
+# Same math in all cases. Selectable for benchmarking.
 CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "fold2d")
+
+
+def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
+    """Predicted win for the band-into-lanes lowering: it spends D/kd× the
+    FLOPs to raise output-lane utilisation from min(Cout,128)/128 to
+    min(D·Cout,128)/128 — worth it iff the utilisation gain exceeds the
+    FLOP blow-up (true for the outer C=32/64 UNet levels, see BASELINE.md)."""
+    if kd <= 1 or d <= 1:
+        return False
+    return min(d * cout, 128) * kd > min(cout, 128) * d
+
+
+def _conv3d_bandlanes(x: jax.Array, kernel: jax.Array):
+    """SAME/stride-1 3-D conv with the band (depth) axis folded into lanes.
+
+    Output band d_out draws from input bands d_out+i−pad, tap K[i]; expressed
+    over the flattened (B, H, W, D·Cin) layout that is one dense 2-D conv
+    whose (kh, kw, D·Cin, D·Cout) kernel is block-banded over band pairs:
+        W2[·, ·, d_in·Cin:, d_out·Cout:] = K[d_in − d_out + pad]   (|Δd| ≤ pad)
+    and zero elsewhere. The banded kernel is assembled at trace time from the
+    compact (kd, kh, kw, Cin, Cout) parameter — O(D²·k²·Cin·Cout) elements,
+    negligible next to the conv itself."""
+    b, d, h, w, c = x.shape
+    kd, kh, kw, cin, cout = kernel.shape
+    pad = kd // 2
+    din = np.arange(d)[:, None]
+    dout = np.arange(d)[None, :]
+    idx = din - dout + pad  # tap index per (d_in, d_out) block
+    valid = (0 <= idx) & (idx < kd)
+    kg = kernel[np.clip(idx, 0, kd - 1)]  # (d, d, kh, kw, cin, cout)
+    kg = kg * jnp.asarray(valid, kernel.dtype)[:, :, None, None, None, None]
+    w2 = kg.transpose(2, 3, 0, 4, 1, 5).reshape(kh, kw, d * cin, d * cout)
+    x2 = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)
+    y = lax.conv_general_dilated(
+        x2, w2.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=DIMENSION_NUMBERS_2D,
+    )
+    return y.reshape(b, h, w, d, cout).transpose(0, 3, 1, 2, 4)
 
 
 def _conv3d_fold2d(x: jax.Array, kernel: jax.Array):
@@ -66,12 +112,18 @@ def _conv3d_fold2d(x: jax.Array, kernel: jax.Array):
 
 def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1)):
     """3-D conv: x (B, D, H, W, Cin), kernel (kd, kh, kw, Cin, Cout)."""
-    if (
-        CONV3D_IMPL == "fold2d"
-        and padding == "SAME"
-        and tuple(stride) == (1, 1, 1)
-    ):
-        return _conv3d_fold2d(x, kernel)
+    if padding == "SAME" and tuple(stride) == (1, 1, 1):
+        impl = CONV3D_IMPL
+        if impl == "auto":
+            impl = (
+                "bandlanes"
+                if _bandlanes_wins(x.shape[1], kernel.shape[0], kernel.shape[-1])
+                else "fold2d"
+            )
+        if impl == "bandlanes":
+            return _conv3d_bandlanes(x, kernel)
+        if impl == "fold2d":
+            return _conv3d_fold2d(x, kernel)
     return lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),

@@ -78,8 +78,16 @@ def restore_checkpoint(root: str, template: TrainState,
 
 def import_reference_checkpoint(gen_pth: str, template: TrainState,
                                 model=None) -> TrainState:
-    """Load a reference `I{step}_gen.pth` into a fresh train state."""
+    """Load a reference `I{step}_gen.pth` into a fresh train state.
+
+    A trained reference checkpoint only reproduces the reference's outputs
+    when driven by the TRUE CLIP prompt vectors it was trained with, so this
+    path refuses the placeholder table (tests transplant *random-init* torch
+    models through our own exported embeddings and set TMDIFF_ALLOW_FAKE_CLIP)."""
+    from tmdiff_tpu.models.clip_text import require_real_clip
     from tmdiff_tpu.utils.torch_import import import_state_dict, load_torch_state_dict
+
+    require_real_clip(f"importing reference checkpoint {gen_pth!r}")
 
     sd = load_torch_state_dict(gen_pth)
     params = import_state_dict(sd, jax.device_get(template.params))
