@@ -52,11 +52,11 @@ def test_bandlanes_matches_fold2d(rng, d, cin, cout, kd):
 
 
 def test_bandlanes_heuristic():
-    """auto picks bandlanes exactly where the lane-utilisation gain beats the
-    D/kd FLOP blow-up: outer UNet levels (C=32 @ D=8; C=32/64 @ D=4) win,
-    inner levels and 1-tap convs don't."""
+    """auto picks bandlanes at every lane-starved (Cout < 128) multi-tap
+    level — the measured-win rule from BASELINE.md's v5e A/B grid — and
+    never where there's no lane gain (Cout ≥ 128) or no depth coupling."""
     assert _bandlanes_wins(d=8, kd=3, cout=32)
-    assert not _bandlanes_wins(d=8, kd=3, cout=64)
+    assert _bandlanes_wins(d=8, kd=3, cout=64)
     assert _bandlanes_wins(d=4, kd=3, cout=32)
     assert _bandlanes_wins(d=4, kd=3, cout=64)
     assert not _bandlanes_wins(d=8, kd=3, cout=128)

@@ -36,6 +36,37 @@ def setup_logger(name, root, filename, screen=False):
     return logger
 
 
+def snapshot_provenance(opt, config_path: str):
+    """Reproducibility snapshot into the experiments dir — the reference
+    copies its entry script + GeneralModel/ + config/ into results
+    (`general_…finetune.py:119-123`); we snapshot the resolved config, the
+    package source tree, and the git revision."""
+    import json
+    import shutil
+    import subprocess
+
+    root = opt["path"]["experiments_root"]
+    code_dir = os.path.join(root, "code")
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(code_dir):
+        shutil.copytree(
+            pkg_dir, os.path.join(code_dir, "tmdiff_tpu"),
+            ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so"),
+        )
+    shutil.copyfile(config_path,
+                    os.path.join(root, os.path.basename(config_path)))
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=pkg_dir,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = ""
+    with open(os.path.join(root, "provenance.json"), "w") as f:
+        json.dump({"git_rev": rev, "config": dict(opt),
+                   "argv": sys.argv}, f, indent=2, default=str)
+
+
 SENSOR_OF_PHASE = {
     "train_qb": "QB", "train_gf2": "GF2", "train_wv3": "WV3",
     "val_QB": "QB", "val_GF2": "GF2", "val_WV3": "WV3",
@@ -77,10 +108,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     opt = parse_config(args.config, phase=args.phase, debug=args.debug)
+    opt["log_eval"] = args.log_eval
     logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
     val_logger = setup_logger("val", opt["path"]["log"], "val")
     logger.info(opt.get("info", opt["name"]))
     logger.info(dict2str(opt))
+    snapshot_provenance(opt, args.config)
 
     from tmdiff_tpu.diffusion.schedules import NoiseSchedule
     from tmdiff_tpu.eval.harness import validate
@@ -157,6 +190,10 @@ def main(argv=None):
                 batch_size=int(opt.get("val_batch_size") or 4),
                 max_images=int(opt.get("val_max_images") or -1),
                 params=eval_params,
+                log_file=(
+                    os.path.join(opt["path"]["results"], "eval_metrics.jsonl")
+                    if opt["log_eval"] else None
+                ),
             )
             logger.info(f"step {int(state.step)} {sensor} {scores}")
             val_logger.info(f"step {int(state.step)} {sensor} {scores}")
@@ -178,7 +215,10 @@ def main(argv=None):
                 )
             if current_step % val_freq == 0:
                 run_validation(state)
-                ckpt_lib.save_checkpoint(opt["path"]["checkpoint"], state)
+                ckpt_lib.save_checkpoint(
+                    opt["path"]["checkpoint"], state,
+                    keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
+                )
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)

@@ -37,7 +37,12 @@ def load_pancollection(path: str, img_scale: Optional[float] = None) -> dict:
         for key in KEYS:
             if key in f:
                 out[key] = counts_to_float(np.asarray(f[key]), scale)
-    if "gt" not in out:  # full-resolution sets have no reference
+    # Full-resolution sets ship no ground truth; keep the lms stand-in for
+    # shape purposes but RECORD the absence so evaluation routes to the
+    # no-reference (D_λ/D_s/QNR) suite instead of fake-RR-against-lms
+    # (reference behavior: `core/metrics.py:287-335`).
+    out["has_reference"] = "gt" in out
+    if not out["has_reference"]:
         out["gt"] = out["lms"]
     out["img_scale"] = scale
     return out
@@ -52,10 +57,13 @@ class PanDataset:
             data = load_pancollection(path_or_arrays, img_scale)
         else:
             data = dict(path_or_arrays)
-        self.gt = data["gt"]
+        self.gt = data.get("gt")
         self.ms = data["ms"]
         self.lms = data["lms"]
         self.pan = data["pan"]
+        self.has_reference = bool(data.get("has_reference", self.gt is not None))
+        if self.gt is None:
+            self.gt = self.lms
         self.img_scale = float(data.get("img_scale", img_scale or 2047.0))
         n = self.ms.shape[0]
         self.length = n if data_len <= 0 else min(data_len, n)

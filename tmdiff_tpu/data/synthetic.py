@@ -34,12 +34,17 @@ def make_arrays(n: int = 8, bands: int = 4, size: int = 32, seed: int = 0) -> di
 
 
 def write_h5(path: str, n: int = 8, bands: int = 4, size: int = 32,
-             seed: int = 0, img_scale: float = 2047.0):
-    """Write a synthetic file in raw counts so loaders exercise the ÷scale."""
+             seed: int = 0, img_scale: float = 2047.0,
+             full_resolution: bool = False):
+    """Write a synthetic file in raw counts so loaders exercise the ÷scale.
+
+    `full_resolution=True` omits the `gt` key — the PanCollection FR (real
+    full-scale, no-reference) file layout."""
     import h5py
 
     data = make_arrays(n, bands, size, seed)
+    keys = ("ms", "lms", "pan") if full_resolution else ("gt", "ms", "lms", "pan")
     with h5py.File(path, "w") as f:
-        for key in ("gt", "ms", "lms", "pan"):
+        for key in keys:
             f.create_dataset(key, data=data[key] * img_scale)
     return path

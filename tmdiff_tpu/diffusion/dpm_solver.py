@@ -12,7 +12,10 @@ vendored official implementation in `core/dpm_solver_pytorch.py`):
   * singlestep orders 1-3 (DPM-Solver-fast order schedule,
     `:497-555, 1259-1279`), multistep orders 1-3 with `lower_order_final`
     (`:1215-1258`), singlestep_fixed, denoise-to-zero, dynamic thresholding
-    (quantile 0.995, `:430-439`).
+    (quantile 0.995, `:430-439`),
+  * adaptive step size (`dpm_solver_adaptive:982-1044`) as ONE traced
+    `lax.while_loop`, `add_noise` (`:1045-1063`) and ODE inversion
+    (`inverse:1065-1079`).
 
 TPU-first structure: every time grid, λ value and update coefficient is a
 *static* numpy scalar computed at trace time — the compiled program contains
@@ -97,6 +100,52 @@ class NoiseScheduleVP:
         """Continuous t → discrete model input label (`dpm_solver_pytorch.py:288-295`)."""
         if self.schedule == "discrete":
             return (np.asarray(t, dtype=np.float64) - 1.0 / self.total_N) * 1000.0
+        return t
+
+
+class _TracedScheduleVP:
+    """jnp twin of :class:`NoiseScheduleVP` for *data-dependent* time — the
+    adaptive solver's step sizes are runtime values, so its schedule lookups
+    must be traced (everywhere else they are trace-time numpy)."""
+
+    def __init__(self, ns: "NoiseScheduleVP"):
+        self.schedule = ns.schedule
+        self.total_N = ns.total_N
+        if ns.schedule == "discrete":
+            self.t_array = jnp.asarray(ns.t_array)
+            self.log_alpha_array = jnp.asarray(ns.log_alpha_array)
+        else:
+            self.beta_0, self.beta_1 = ns.beta_0, ns.beta_1
+
+    def log_alpha(self, t):
+        if self.schedule == "discrete":
+            return jnp.interp(t, self.t_array, self.log_alpha_array)
+        return -0.25 * t**2 * (self.beta_1 - self.beta_0) - 0.5 * t * self.beta_0
+
+    def alpha(self, t):
+        return jnp.exp(self.log_alpha(t))
+
+    def std(self, t):
+        return jnp.sqrt(1.0 - jnp.exp(2.0 * self.log_alpha(t)))
+
+    def lam(self, t):
+        la = self.log_alpha(t)
+        return la - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * la))
+
+    def inverse_lambda(self, lamb):
+        if self.schedule == "discrete":
+            log_alpha = -0.5 * jnp.logaddexp(0.0, -2.0 * lamb)
+            return jnp.interp(
+                log_alpha, self.log_alpha_array[::-1], self.t_array[::-1]
+            )
+        tmp = 2.0 * (self.beta_1 - self.beta_0) * jnp.logaddexp(-2.0 * lamb, 0.0)
+        return (
+            2.0 * tmp / (jnp.sqrt(self.beta_0**2 + tmp) + self.beta_0)
+        ) / (self.beta_1 - self.beta_0)
+
+    def model_input_time(self, t):
+        if self.schedule == "discrete":
+            return (t - 1.0 / self.total_N) * 1000.0
         return t
 
 
@@ -487,10 +536,194 @@ class DPMSolver:
             x = self._sample_singlestep(
                 x, steps, order, skip_type, t_T, t_0, fixed=method == "singlestep_fixed"
             )
+        elif method == "adaptive":
+            x = self.sample_adaptive(x, order=order, t_start=t_T, t_end=t_0)
         else:
             raise ValueError(method)
         if denoise_to_zero:
             x = self._x0_pred(x, t_0)
+        return x
+
+    def add_noise(self, x, t, noise=None, rng=None):
+        """xt = α_t·x + σ_t·noise for a batch of times t
+        (`dpm_solver_pytorch.py:1045-1063`): returns (t_size, B, *shape), or
+        (B, *shape) when t has a single element."""
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        alpha = jnp.asarray(self.ns.marginal_alpha(t), x.dtype)
+        sigma = jnp.asarray(self.ns.marginal_std(t), x.dtype)
+        if noise is None:
+            noise = jax.random.normal(
+                rng if rng is not None else jax.random.key(0),
+                (t.shape[0], *x.shape), x.dtype,
+            )
+        expand = (-1,) + (1,) * x.ndim
+        xt = alpha.reshape(expand) * x[None] + sigma.reshape(expand) * noise
+        return xt[0] if t.shape[0] == 1 else xt
+
+    def inverse(self, x, steps: int = 20, t_start: Optional[float] = None,
+                t_end: Optional[float] = None, order: int = 2,
+                skip_type: str = "time_uniform", method: str = "multistep",
+                lower_order_final: bool = True, denoise_to_zero: bool = False):
+        """Integrate the diffusion ODE *forward* (data → noise), i.e. run the
+        same solver from t_start=1/N to t_end=T
+        (`dpm_solver_pytorch.py:1065-1079`). The update formulas are signless
+        in h, so the machinery is reused verbatim."""
+        t_0 = 1.0 / self.ns.total_N if t_start is None else t_start
+        t_T = self.ns.T if t_end is None else t_end
+        assert t_0 > 0 and t_T > 0
+        return self.sample(
+            x, steps=steps, t_start=t_0, t_end=t_T, order=order,
+            skip_type=skip_type, method=method,
+            lower_order_final=lower_order_final,
+            denoise_to_zero=denoise_to_zero,
+        )
+
+    # -- adaptive step size (traced: one jit-able lax.while_loop) ------------
+
+    def _traced_eval(self, tsch, x, t):
+        t_input = jnp.full((x.shape[0],), tsch.model_input_time(t), x.dtype)
+        return self._eval_with(x, t_input, tsch.alpha(t), tsch.std(t))
+
+    def _traced_first(self, tsch, x, s, t, model_s):
+        h = tsch.lam(t) - tsch.lam(s)
+        if self.algorithm_type == "dpmsolver++":
+            return (tsch.std(t) / tsch.std(s)) * x - (
+                tsch.alpha(t) * jnp.expm1(-h)
+            ) * model_s
+        return (tsch.alpha(t) / tsch.alpha(s)) * x - (
+            tsch.std(t) * jnp.expm1(h)
+        ) * model_s
+
+    def _traced_second(self, tsch, x, s, t, model_s, r1=0.5):
+        """Returns (x_t, model_s1) so the third update can reuse the eval
+        (the reference's `return_intermediate` plumbing, `:610-692`)."""
+        lam_s = tsch.lam(s)
+        h = tsch.lam(t) - lam_s
+        s1 = tsch.inverse_lambda(lam_s + r1 * h)
+        if self.algorithm_type == "dpmsolver++":
+            phi_11, phi_1 = jnp.expm1(-r1 * h), jnp.expm1(-h)
+            x_s1 = (tsch.std(s1) / tsch.std(s)) * x - (
+                tsch.alpha(s1) * phi_11
+            ) * model_s
+            model_s1 = self._traced_eval(tsch, x_s1, s1)
+            x_t = (
+                (tsch.std(t) / tsch.std(s)) * x
+                - (tsch.alpha(t) * phi_1) * model_s
+                - (0.5 / r1) * (tsch.alpha(t) * phi_1) * (model_s1 - model_s)
+            )
+        else:
+            phi_11, phi_1 = jnp.expm1(r1 * h), jnp.expm1(h)
+            x_s1 = (tsch.alpha(s1) / tsch.alpha(s)) * x - (
+                tsch.std(s1) * phi_11
+            ) * model_s
+            model_s1 = self._traced_eval(tsch, x_s1, s1)
+            x_t = (
+                (tsch.alpha(t) / tsch.alpha(s)) * x
+                - (tsch.std(t) * phi_1) * model_s
+                - (0.5 / r1) * (tsch.std(t) * phi_1) * (model_s1 - model_s)
+            )
+        return x_t, model_s1
+
+    def _traced_third(self, tsch, x, s, t, model_s, model_s1,
+                      r1=1.0 / 3.0, r2=2.0 / 3.0):
+        lam_s = tsch.lam(s)
+        h = tsch.lam(t) - lam_s
+        s2 = tsch.inverse_lambda(lam_s + r2 * h)
+        if self.algorithm_type == "dpmsolver++":
+            phi_12, phi_1 = jnp.expm1(-r2 * h), jnp.expm1(-h)
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            x_s2 = (
+                (tsch.std(s2) / tsch.std(s)) * x
+                - (tsch.alpha(s2) * phi_12) * model_s
+                + (r2 / r1) * (tsch.alpha(s2) * phi_22) * (model_s1 - model_s)
+            )
+            model_s2 = self._traced_eval(tsch, x_s2, s2)
+            return (
+                (tsch.std(t) / tsch.std(s)) * x
+                - (tsch.alpha(t) * phi_1) * model_s
+                + (1.0 / r2) * (tsch.alpha(t) * phi_2) * (model_s2 - model_s)
+            )
+        phi_12, phi_1 = jnp.expm1(r2 * h), jnp.expm1(h)
+        phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        x_s2 = (
+            (tsch.alpha(s2) / tsch.alpha(s)) * x
+            - (tsch.std(s2) * phi_12) * model_s
+            - (r2 / r1) * (tsch.std(s2) * phi_22) * (model_s1 - model_s)
+        )
+        model_s2 = self._traced_eval(tsch, x_s2, s2)
+        return (
+            (tsch.alpha(t) / tsch.alpha(s)) * x
+            - (tsch.std(t) * phi_1) * model_s
+            - (1.0 / r2) * (tsch.std(t) * phi_2) * (model_s2 - model_s)
+        )
+
+    def sample_adaptive(self, x, order: int = 3,
+                        t_start: Optional[float] = None,
+                        t_end: Optional[float] = None,
+                        h_init: float = 0.05, atol: float = 0.0078,
+                        rtol: float = 0.05, theta: float = 0.9,
+                        t_err: float = 1e-5, max_loops: int = 500):
+        """Adaptive step-size singlestep solver
+        (`dpm_solver_adaptive:982-1044`): embedded order-(k−1)/k error
+        estimate, step accepted when the rms of (x_hi−x_lo)/δ ≤ 1, logSNR
+        step h ← min(θ·h·E^(−1/order), λ_0−λ_s).
+
+        TPU-native: the whole loop is ONE `lax.while_loop` with traced time/
+        step-size state — no host round-trips, compiles once ('dpmsolver'
+        solver type, orders 2/3, like the reference). `max_loops` bounds
+        runaway rejection loops (the reference loops unboundedly)."""
+        assert order in (2, 3), "adaptive solver supports order 2 or 3"
+        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        tsch = _TracedScheduleVP(self.ns)
+        lambda_0 = tsch.lam(jnp.float32(t_0))
+
+        def lower_and_higher(x, s, t):
+            model_s = self._traced_eval(tsch, x, s)
+            if order == 2:
+                x_lower = self._traced_first(tsch, x, s, t, model_s)
+                x_higher, _ = self._traced_second(tsch, x, s, t, model_s, r1=0.5)
+            else:
+                x_lower, model_s1 = self._traced_second(
+                    tsch, x, s, t, model_s, r1=1.0 / 3.0
+                )
+                x_higher = self._traced_third(
+                    tsch, x, s, t, model_s, model_s1, r1=1.0 / 3.0, r2=2.0 / 3.0
+                )
+            return x_lower, x_higher
+
+        def cond(carry):
+            x, x_prev, s, h, n = carry
+            return (jnp.abs(s - t_0) > t_err) & (n < max_loops)
+
+        def body(carry):
+            x, x_prev, s, h, n = carry
+            lambda_s = tsch.lam(s)
+            t = tsch.inverse_lambda(lambda_s + h)
+            x_lower, x_higher = lower_and_higher(x, s, t)
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
+            )
+            b = x.shape[0]
+            E = jnp.max(jnp.sqrt(jnp.mean(
+                jnp.square((x_higher - x_lower) / delta).reshape(b, -1), axis=1
+            )))
+            accept = E <= 1.0
+            x = jnp.where(accept, x_higher, x)
+            x_prev = jnp.where(accept, x_lower, x_prev)
+            s = jnp.where(accept, t, s)
+            h = jnp.minimum(
+                theta * h * E ** (-1.0 / order), lambda_0 - tsch.lam(s)
+            )
+            return x, x_prev, s, h, n + 1
+
+        s0 = jnp.float32(t_T)
+        h0 = jnp.float32(h_init)
+        x, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x, x, s0, h0, jnp.int32(0))
+        )
         return x
 
     def _sample_multistep(self, x, steps, order, skip_type, t_T, t_0, lower_order_final):

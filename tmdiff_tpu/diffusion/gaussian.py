@@ -107,16 +107,24 @@ def ancestral_sample(
     clip_mode: str = "static",
     legacy_noise_inversion: bool = False,
     num_frames: Optional[int] = None,
+    x_init: Optional[jnp.ndarray] = None,
+    step_noise: Optional[jnp.ndarray] = None,
 ):
     """Full T-step ancestral reverse loop as one `lax.scan`.
 
     Returns the final residual sample, or (final, frames) when `num_frames`
     requests intermediate snapshots (frame f = state after step t where
     t % (T // num_frames) == 0, mirroring the reference's `sample_inter`).
+
+    `x_init` (initial x_T) and `step_noise` ((T, *shape), row t = the noise
+    added after timestep t; row 0 is ignored) override the PRNG draws — the
+    injection hook that lets golden tests replay the torch reference's exact
+    noise sequence through the compiled scan.
     """
     T = ns.num_timesteps
     rng, rng_init = jax.random.split(rng)
-    x_init = jax.random.normal(rng_init, shape)
+    if x_init is None:
+        x_init = jax.random.normal(rng_init, shape)
     # (The reference's display interval is the quirky `1 | (T // 10)`,
     # `p_sample_loop:213`; with an explicit frame count we use exact spacing.)
     interval = max(1, T // (num_frames or 10))
@@ -135,9 +143,11 @@ def ancestral_sample(
             x_recon = denoise_fn(x, jnp.full((shape[0],), t + 1), pan, ms)
         x_recon = clip_x0(x_recon, clip_mode)
         mean, logvar = posterior_mean_logvar(ns, x_recon, x, t)
-        noise = jnp.where(
-            t > 0, jax.random.normal(step_rng, shape), jnp.zeros(shape)
+        drawn = (
+            step_noise[t] if step_noise is not None
+            else jax.random.normal(step_rng, shape)
         )
+        noise = jnp.where(t > 0, drawn, jnp.zeros(shape))
         x = mean + noise * jnp.exp(0.5 * logvar)
         if frames is not None:
             slot = t // interval

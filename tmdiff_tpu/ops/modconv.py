@@ -11,7 +11,7 @@ op collapses analytically to
     y_b = conv(x_b ⊙ s_b, w)          (scale activations, shared weights)
 
 which keeps a single large batched conv on the MXU instead of a batch-grouped
-conv that XLA cannot tile well. `tests/test_modconv.py` pins this identity
+conv that XLA cannot tile well. `tests/test_ops.py` pins this identity
 against the torch reference golden (tests/golden/modulated_conv.npz).
 
 Layout: activations are (B, D, H, W, C) with the spectral-band axis as conv
@@ -38,21 +38,22 @@ DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 #   "bandlanes" — bands folded into *lanes* (B, H, W, D·C) with a dense
 #                 block-banded (kh, kw, D·Cin, D·Cout) kernel: D/kd× the true
 #                 FLOPs, but fills all 128 MXU output lanes when Cout < 128.
-#   "auto"      — per-call choice between the two by predicted MXU-lane
-#                 efficiency (see `_bandlanes_wins`).
+#   "auto"      — per-call choice between the two by measured-win rule
+#                 (see `_bandlanes_wins`).
 #   "lax"       — XLA's native 3-D convolution.
 # Same math in all cases. Selectable for benchmarking.
-CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "fold2d")
+CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "auto")
 
 
 def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
-    """Predicted win for the band-into-lanes lowering: it spends D/kd× the
-    FLOPs to raise output-lane utilisation from min(Cout,128)/128 to
-    min(D·Cout,128)/128 — worth it iff the utilisation gain exceeds the
-    FLOP blow-up (true for the outer C=32/64 UNet levels, see BASELINE.md)."""
-    if kd <= 1 or d <= 1:
-        return False
-    return min(d * cout, 128) * kd > min(cout, 128) * d
+    """Empirical win rule for the band-into-lanes lowering, from the v5e A/B
+    grid in BASELINE.md: every lane-starved level (Cout < 128) wins — the
+    D/kd FLOP blow-up is repaid by full 128-lane MXU tiles PLUS skipping the
+    fold2d concat's HBM round-trip (measured 2.0×/1.2× @8-band and
+    3.6×/1.9× @4-band for C=32/64). At Cout ≥ 128 there is no lane gain and
+    the FLOP blow-up is a pure loss; 1-tap (kd=1) convs have no depth
+    coupling to amortise."""
+    return kd > 1 and d > 1 and cout < 128
 
 
 def _conv3d_bandlanes(x: jax.Array, kernel: jax.Array):

@@ -2,8 +2,10 @@
 
 Replaces the reference's optional xformers `memory_efficient_attention` CUDA
 path (`/root/reference/core/Attention.py:217-263`) with a TPU-native online
--softmax kernel: O(S) memory, one pass over KV blocks per query block, fp32
-accumulation on the MXU, bf16-friendly inputs.
+-softmax kernel. KV is a sequential grid axis, so VMEM residency is
+O(block_k·D) regardless of sequence length (the memory-efficiency xformers
+claims) while Pallas pipelines the next KV tile's HBM→VMEM DMA behind the
+current tile's MXU work; fp32 accumulation, bf16-friendly inputs.
 
 Non-causal (image token sequences have no ordering), optional source-length
 masking for padded sequences. Falls back to the interpreter off-TPU so the
@@ -21,35 +23,47 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, scale, kv_len, block_k):
+    """One (batch·head, q-block, kv-block) grid cell.
+
+    The KV axis is the innermost *grid* dimension (sequential on TPU), so
+    only ONE (block_k, D) K/V tile is VMEM-resident at a time — O(block)
+    residency however long the sequence — while Pallas double-buffers the
+    next tile's DMA behind the current tile's compute. The online-softmax
+    state (m, l, acc) persists across KV steps in VMEM scratch."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, _NEG_INF, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
     q = q_ref[0].astype(jnp.float32)  # (Bq, D)
-    bq, d = q.shape
-    padded_kv = k_ref.shape[1]
-    num_kv = padded_kv // block_k
+    k = k_ref[0].astype(jnp.float32)  # (Bk, D)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    def body(j, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (Bq, Bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, multiple):
@@ -91,30 +105,36 @@ def flash_attention(
     bh, sq_p, d_p = qf.shape
     skv_p = kf.shape[1]
 
-    grid = (bh, sq_p // block_q)
+    grid = (bh, sq_p // block_q, skv_p // block_k)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, kv_len=skv, block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, block_q, d_p), lambda i, j: (i, j, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, skv_p, d_p), lambda i, j: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, skv_p, d_p), lambda i, j: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, block_q, d_p), lambda i, j: (i, j, 0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d_p), lambda i, qi, j: (i, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, block_k, d_p), lambda i, qi, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d_p), lambda i, qi, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_p), lambda i, qi, j: (i, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denom l
+            pltpu.VMEM((block_q, d_p), jnp.float32),  # unnormalised acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qf, kf, vf)

@@ -73,17 +73,21 @@ class Pansharpener:
 
     def _build(self, method: str, steps: Optional[int], guidance: float,
                legacy: bool, num_frames: Optional[int] = None):
-        def run(params, pan, ms, prompt_emb, seed):
+        def run(params, pan, ms, prompt_emb, seed, x_init=None,
+                step_noise=None):
             rng = jax.random.fold_in(jax.random.key(0), seed)
             shape = ms.shape
             cache = self._encode(params, pan, ms, prompt_emb)
             denoise = lambda x, t, *_: self._denoise(params, x, t, cache)
+            # x_T for the solver paths (ancestral draws its own unless injected)
+            x_T = x_init if x_init is not None else jax.random.normal(rng, shape)
 
             if method == "ancestral":
                 res = gaussian.ancestral_sample(
                     denoise, self.ns, rng, pan, ms, shape,
                     legacy_noise_inversion=legacy,
                     num_frames=num_frames,
+                    x_init=x_init, step_noise=step_noise,
                 )
                 if num_frames:
                     final, frames = res
@@ -109,7 +113,7 @@ class Pansharpener:
                     ),
                 )
                 res = DPMSolver(wrapped, self.nsvp).sample(
-                    jax.random.normal(rng, shape),
+                    x_T,
                     steps=steps or 50, order=2, skip_type="logSNR",
                     method="multistep",
                 )
@@ -118,13 +122,13 @@ class Pansharpener:
                 solver = DPMSolver(wrapped, self.nsvp)
                 if method == "dpm++":
                     res = solver.sample(
-                        jax.random.normal(rng, shape),
+                        x_T,
                         steps=steps or 30, order=3, skip_type="logSNR",
                         method="singlestep", denoise_to_zero=True,
                     )
                 elif method == "dpm++_noise":
                     res = solver.sample(
-                        jax.random.normal(rng, shape),
+                        x_T,
                         steps=steps or 50, order=3, skip_type="logSNR",
                         method="multistep", denoise_to_zero=True,
                     )
@@ -147,12 +151,15 @@ class Pansharpener:
         legacy_noise_inversion: bool = False,
         num_frames: Optional[int] = None,
         params=None,
+        x_init=None,
+        step_noise=None,
     ):
         """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
 
         `num_frames` (ancestral only) additionally returns intermediate
         snapshots — the reference's `continous=True` mode
-        (`p_sample_loop:210-225`)."""
+        (`p_sample_loop:210-225`). `x_init` / `step_noise` (ancestral only)
+        replay an explicit noise sequence — the golden-test hook."""
         pan = jnp.asarray(batch["PAN"])
         ms = jnp.asarray(batch["MS"])
         key = (method, steps, guidance, legacy_noise_inversion, num_frames)
@@ -164,6 +171,8 @@ class Pansharpener:
         out = self._compiled[key](
             params if params is not None else self.params,
             pan, ms, prompt_emb, seed,
+            None if x_init is None else jnp.asarray(x_init),
+            None if step_noise is None else jnp.asarray(step_noise),
         )
         if method == "ancestral" and num_frames:
             final, frames = out

@@ -177,6 +177,121 @@ def golden_wavbest():
     print("wavbest goldens written, out shape", y.shape)
 
 
+def golden_pipeline():
+    """END-TO-END sampler goldens: the tiny reference WavBEST driven through
+    `GeneralDiffusion.sample_by_dpmsolver` (x_start, 30-step singlestep
+    order-3 logSNR, dynamic thresholding, denoise-to-zero,
+    `diffusion_general.py:227-255`) and the legacy ancestral `p_sample_loop`
+    (`:210-225`, noise-inversion `p_mean_variance`), with every noise draw
+    recorded so the JAX side can replay the exact trajectory through
+    `Pansharpener.sample` (model × solver × res2img composition)."""
+    sys.path.insert(0, "/root/repo")
+
+    _orig_to = torch.Tensor.to
+
+    def _cpu_to(self, *args, **kwargs):
+        args = tuple(
+            a for a in args
+            if not (isinstance(a, (str, torch.device)) and "cuda" in str(a))
+        )
+        if "cuda" in str(kwargs.get("device", "")):
+            kwargs.pop("device")
+        if not args and not kwargs:
+            return self
+        return _orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = _cpu_to
+
+    import GeneralModel.Hyper_unet_general as ref_unet
+    import GeneralModel.diffusion_general as ref_diff
+
+    class FakeClip:
+        def __init__(self, *a, **k):
+            pass
+
+        def encode(self, text):
+            import hashlib
+            seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "little")
+            vec = np.random.default_rng(seed).standard_normal(768)
+            vec = vec / np.linalg.norm(vec) * np.sqrt(768)
+            return torch.from_numpy(vec.astype(np.float32))[None]
+
+    ref_unet.FrozenCLIPEmbedder = FakeClip
+    torch.manual_seed(3407)
+    model = ref_unet.WavBEST(channels=[8, 16, 32, 64])
+    model.eval()
+
+    # B=1: the reference's x_start noise_pred_fn broadcasts a (B,)-shaped
+    # alpha_t straight into the image tensor, which only works at batch 1 —
+    # exactly how the reference val loop runs it (`dpm_solver_pytorch.py:306`,
+    # batch-1 val at `general_…finetune.py:126-152`).
+    B, bands, H, W = 1, 4, 16, 16
+    pan = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    ms = rng.standard_normal((B, bands, H, W)).astype(np.float32)
+    res = rng.standard_normal((B, bands, H, W)).astype(np.float32)
+    x_in = {
+        "Res": torch.from_numpy(res),
+        "PAN": torch.from_numpy(pan),
+        "MS": torch.from_numpy(ms),
+    }
+
+    diffusion = ref_diff.GeneralDiffusion(denoise_fn=model, loss_type="l1")
+
+    # Record/replay every torch noise draw.
+    x_T = rng.standard_normal((B, bands, H, W)).astype(np.float32)
+    step_draws = []
+
+    _orig_randn, _orig_randn_like = torch.randn, torch.randn_like
+
+    def fake_randn(*args, **kwargs):
+        return torch.from_numpy(x_T.copy())
+
+    def fake_randn_like(x):
+        step_draws.append(rng.standard_normal(tuple(x.shape)).astype(np.float32))
+        return torch.from_numpy(step_draws[-1])
+
+    torch.randn, torch.randn_like = fake_randn, fake_randn_like
+    try:
+        # -- DPM-Solver++ path (T=1000 cosine, reference val default) --
+        diffusion.set_new_noise_schedule(
+            {"schedule": "cosine", "n_timestep": 1000}, device="cpu"
+        )
+        with torch.no_grad():
+            y_dpm = diffusion.sample_by_dpmsolver(x_in, "QB").numpy()
+
+        # -- legacy ancestral path (T=100 keeps the fixture fast) --
+        T_anc = 100
+        diffusion.set_new_noise_schedule(
+            {"schedule": "cosine", "n_timestep": T_anc}, device="cpu"
+        )
+        step_draws.clear()
+        with torch.no_grad():
+            y_anc = diffusion.p_sample_loop(
+                x_in, continous=False, prompt="QB"
+            ).numpy()
+        # draw j (j=0..T-2) happened at timestep t = T-1-j; row 0 unused.
+        step_noise = np.zeros((T_anc, B, bands, H, W), np.float32)
+        for j, draw in enumerate(step_draws):
+            step_noise[T_anc - 1 - j] = draw
+    finally:
+        torch.randn, torch.randn_like = _orig_randn, _orig_randn_like
+        torch.Tensor.to = _orig_to
+
+    sd = {
+        k: v.numpy() for k, v in model.state_dict().items()
+        if "clip_text" not in k
+    }
+    prompt_vec = model.get_embeding("QB").numpy()[0]
+    np.savez(
+        os.path.join(OUT, "pipeline.npz"),
+        pan=pan, ms=ms, res=res, x_T=x_T,
+        step_noise=step_noise, T_anc=np.array(T_anc),
+        y_dpm=y_dpm, y_anc=y_anc, prompt=prompt_vec,
+        **{"sd." + k: v for k, v in sd.items()},
+    )
+    print("pipeline goldens written; dpm", y_dpm.shape, "anc", y_anc.shape)
+
+
 def golden_dpm_solver():
     """Reference DPM-Solver runs on analytic toy models, several configs."""
     from core.dpm_solver_pytorch import NoiseScheduleVP, model_wrapper, DPM_Solver
@@ -240,6 +355,36 @@ def golden_dpm_solver():
         solver = DPM_Solver(fn, ns, algorithm_type=algo, correcting_x0_fn=correct)
         with torch.no_grad():
             out[name] = solver.sample(x_T.clone(), **kwargs).numpy()
+
+    # library tail (`dpm_solver_pytorch.py:982-1079`): adaptive step size,
+    # ODE inversion (data → noise), add_noise. Linear toy keeps the
+    # accept/reject sequence numerically robust across frameworks.
+    fn_lin = model_wrapper(toy_linear, ns, model_type="noise")
+    for order in (2, 3):
+        solver = DPM_Solver(fn_lin, ns, algorithm_type="dpmsolver")
+        with torch.no_grad():
+            out[f"adaptive{order}_eps"] = solver.sample(
+                x_T.clone(), method="adaptive", order=order,
+                atol=0.0078, rtol=0.05,
+            ).numpy()
+    solver_pp = DPM_Solver(fn_lin, ns, algorithm_type="dpmsolver++")
+    x0_like = torch.tanh(x_T.clone())
+    with torch.no_grad():
+        out["inverse_ms2"] = solver_pp.inverse(
+            x0_like, steps=8, order=2, skip_type="time_uniform",
+            method="multistep",
+        ).numpy()
+    out["inverse_input"] = x0_like.numpy()
+    t_noise = torch.tensor([0.2, 0.5, 0.9])
+    eps_fixed = torch.from_numpy(
+        rng.standard_normal((3, *x_T.shape)).astype(np.float32)
+    )
+    with torch.no_grad():
+        out["add_noise_t"] = t_noise.numpy()
+        out["add_noise_eps"] = eps_fixed.numpy()
+        out["add_noise_xt"] = solver_pp.add_noise(
+            x_T.clone(), t_noise, noise=eps_fixed
+        ).numpy()
     np.savez(os.path.join(OUT, "dpm_solver.npz"), **out)
     print("dpm solver goldens written")
 
@@ -382,11 +527,21 @@ def golden_pgcu():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="run a single golden_<name> generator")
+    only = ap.parse_args().only
+    if only:
+        globals()[f"golden_{only}"]()
+        raise SystemExit(0)
     golden_dwt()
     golden_schedules()
     golden_gamma_embedding()
     golden_modulated_conv()
     golden_wavbest()
+    golden_pipeline()
     golden_dpm_solver()
     golden_dynamic_conv()
     golden_kernel_adaption()
