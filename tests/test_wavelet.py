@@ -17,6 +17,53 @@ def _nchw_to_hwc(x):
     return np.moveaxis(x, 1, -1)
 
 
+class TestGenericBanks:
+    def test_daubechies_generation_matches_published(self):
+        """Spectral-factorisation dbN must reproduce the published db2/db3
+        coefficient tables (the constants vendored in ops/wavelet.py)."""
+        np.testing.assert_allclose(
+            wavelet._daubechies_dec_lo(2), wavelet._DB2_LO, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            wavelet._daubechies_dec_lo(3), wavelet._DB3_LO, atol=1e-10
+        )
+
+    @pytest.mark.parametrize("name", ["db4", "db6", "db8"])
+    def test_generated_bank_orthogonal_and_reconstructs(self, name, rng):
+        lo = wavelet.get_bank(name)["dec_lo"]
+        assert np.isclose((lo * lo).sum(), 1.0)
+        n = len(lo) // 2
+        for k in range(1, n):
+            assert abs(np.dot(lo, np.roll(lo, 2 * k))) < 1e-9
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 2)), jnp.float32)
+        rec = wavelet._matrix_idwt2d(
+            *wavelet._matrix_dwt2d(x, name), name, 32, 32
+        )
+        # interior reconstructs exactly; the reference's truncated banded
+        # matrices lose a (filter//2 - 1)-wide border for length > 2 filters
+        m = len(lo) // 2
+        np.testing.assert_allclose(
+            rec[:, m:-m, m:-m], x[:, m:-m, m:-m], atol=1e-4
+        )
+
+    def test_register_wavelet_roundtrip(self, rng):
+        wavelet.register_wavelet("custom_db2", wavelet._DB2_LO)
+        a = wavelet._matrix_dwt2d(
+            jnp.asarray(rng.standard_normal((1, 16, 16, 1)), jnp.float32),
+            "custom_db2",
+        )
+        b = wavelet._matrix_dwt2d(
+            jnp.asarray(np.zeros((1, 16, 16, 1)), jnp.float32), "db2"
+        )
+        assert a[0].shape == b[0].shape
+
+    def test_register_rejects_bad_banks(self):
+        with pytest.raises(ValueError, match="even-length"):
+            wavelet.register_wavelet("bad", [0.5, 0.5, 0.5])
+        with pytest.raises(ValueError, match="sqrt"):
+            wavelet.register_wavelet("bad", [0.5, 0.5, 0.5, 0.5])
+
+
 class TestHaar2D:
     def test_round_trip(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)), jnp.float32)

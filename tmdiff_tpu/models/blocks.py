@@ -240,6 +240,58 @@ class UpStage(nn.Module):
         )
 
 
+class ChannelWiseAttention(nn.Module):
+    """Squeeze-excitation-style channel gating
+    (`Hyper_unet_general.py:130-155`, defined-but-unused in the reference):
+    global max + avg pool over (D, H, W) → 2-layer MLP → sigmoid gate per
+    channel. Layout (B, D, H, W, C)."""
+
+    reduction_ratio: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gmax = jnp.max(x, axis=(1, 2, 3))
+        gavg = jnp.mean(x, axis=(1, 2, 3))
+        pooled = jnp.concatenate([gmax, gavg], axis=-1)  # (B, 2C)
+        h = nn.Dense(2 * c // self.reduction_ratio, name="fc1",
+                     dtype=self.dtype)(pooled)
+        h = swish(h)
+        gate = jax.nn.sigmoid(nn.Dense(c, name="fc2", dtype=self.dtype)(h))
+        return x * gate[:, None, None, None, :]
+
+
+def _agn_bias_init(key, shape, dtype=jnp.float32):
+    """AdaptiveGroupNorm style bias: gamma half 1, beta half 0
+    (`Hyper_unet_general.py:318-320`)."""
+    c = shape[0] // 2
+    return jnp.concatenate([jnp.ones((c,), dtype), jnp.zeros((shape[0] - c,), dtype)])
+
+
+class AdaptiveGroupNorm(nn.Module):
+    """Style-conditioned group norm (`Hyper_unet_general.py:311-331`,
+    defined-but-unused in the reference): non-affine GroupNorm followed by
+    γ·x̂ + β with (γ, β) projected from the style vector (γ biased to start
+    at identity). Layout (B, D, H, W, C)."""
+
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        c = x.shape[-1]
+        out = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=1e-6,
+            use_bias=False, use_scale=False, name="norm",
+        )(x)
+        st = nn.Dense(2 * c, name="style", dtype=self.dtype,
+                      bias_init=_agn_bias_init)(style)
+        gamma, beta = jnp.split(st, 2, axis=-1)
+        expand = (slice(None), None, None, None, slice(None))
+        return gamma[expand] * out + beta[expand]
+
+
 class FinalBlock(nn.Module):
     """Four ResBlocks then a modulated 1×1×1 projection to one feature."""
 

@@ -77,17 +77,63 @@ FILTER_BANKS: dict[str, dict] = {
 }
 
 
+def _daubechies_dec_lo(n: int) -> np.ndarray:
+    """Daubechies-N decomposition low-pass by spectral factorisation (the
+    standard minimal-phase construction — keep the |z| < 1 root of each
+    quadratic factor of P(y), y = (2 − z − z⁻¹)/4). Matches pywt's dbN
+    coefficient tables to fp64 (pinned in tests against the db2/db3
+    published constants above)."""
+    if n == 1:
+        return np.array([_R2, _R2])
+    # P(y) = Σ_{k<n} C(n-1+k, k) y^k  (vanishing-moment halfband condition)
+    p_y = [math.comb(n - 1 + k, k) for k in range(n)]
+    y_roots = np.roots(p_y[::-1])
+    z_roots = []
+    for y in y_roots:
+        zr = np.roots([1.0, 4.0 * y - 2.0, 1.0])
+        z_roots.append(zr[np.argmin(np.abs(zr))])
+    rec_lo = np.real(np.poly([-1.0] * n + z_roots))
+    rec_lo *= math.sqrt(2.0) / rec_lo.sum()
+    return rec_lo[::-1].copy()  # pywt stores dec_lo = reversed rec_lo
+
+
+def register_wavelet(name: str, dec_lo) -> None:
+    """Ingest an arbitrary orthogonal filter bank (pywt `dec_lo` convention:
+    even length, Σ = √2); the remaining three filters derive by QMF. The
+    reference accepts any pywt wavelet name (`DWT_IDWT_layer.py:31-36`) —
+    this is the equivalent extension point without a pywt dependency."""
+    dec_lo = np.asarray(dec_lo, dtype=np.float64)
+    if dec_lo.ndim != 1 or len(dec_lo) % 2:
+        raise ValueError("dec_lo must be a 1-D even-length filter")
+    if abs(dec_lo.sum() - math.sqrt(2.0)) > 1e-6:
+        raise ValueError("orthogonal bank requires sum(dec_lo) == sqrt(2)")
+    FILTER_BANKS[name] = _bank(dec_lo)
+
+
 def available_wavelets() -> list[str]:
-    return sorted(FILTER_BANKS.keys())
+    return sorted(FILTER_BANKS.keys()) + ["dbN (any N, generated)"]
 
 
 def get_bank(wavelet: str) -> dict:
-    try:
+    if wavelet in FILTER_BANKS:
         return FILTER_BANKS[wavelet]
-    except KeyError:
-        raise ValueError(
-            f"unknown wavelet {wavelet!r}; available: {available_wavelets()}"
-        ) from None
+    if wavelet.startswith("db") and wavelet[2:].isdigit():
+        FILTER_BANKS[wavelet] = _bank(_daubechies_dec_lo(int(wavelet[2:])))
+        return FILTER_BANKS[wavelet]
+    try:  # real pywt, when the environment has it
+        import pywt
+
+        w = pywt.Wavelet(wavelet)
+        if not w.orthogonal:
+            raise ValueError(f"wavelet {wavelet!r} is not orthogonal")
+        register_wavelet(wavelet, np.asarray(w.dec_lo))
+        return FILTER_BANKS[wavelet]
+    except ImportError:
+        pass
+    raise ValueError(
+        f"unknown wavelet {wavelet!r}; available: {available_wavelets()}, "
+        "or ingest coefficients via register_wavelet(name, dec_lo)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -507,6 +507,30 @@ def golden_attnpp():
     print("attnpp goldens written; out", y.shape)
 
 
+def golden_orphan_blocks():
+    """ChannelWiseAttention (`Hyper_unet_general.py:130-155`) and
+    AdaptiveGroupNorm (`:311-331`) — the defined-but-unused UNet blocks."""
+    import GeneralModel.Hyper_unet_general as ref_unet
+
+    torch.manual_seed(23)
+    cwa = ref_unet.ChannelWiseAttention(num_channels=32, reduction_ratio=16)
+    agn = ref_unet.AdaptiveGroupNorm(num_groups=4, in_channel=32, style_dim=24)
+    cwa.eval(); agn.eval()
+    x = torch.from_numpy(rng.standard_normal((2, 32, 4, 8, 8)).astype(np.float32))
+    style = torch.from_numpy(rng.standard_normal((2, 24)).astype(np.float32))
+    with torch.no_grad():
+        y_cwa = cwa(x)
+        y_agn = agn(x, style)
+    np.savez(
+        os.path.join(OUT, "orphan_blocks.npz"),
+        x=x.numpy(), style=style.numpy(),
+        y_cwa=y_cwa.numpy(), y_agn=y_agn.numpy(),
+        **{"cwa." + k: v.numpy() for k, v in cwa.state_dict().items()},
+        **{"agn." + k: v.numpy() for k, v in agn.state_dict().items()},
+    )
+    print("orphan block goldens written")
+
+
 def golden_pgcu():
     """Reference PGCU forward + full state dict for transplant."""
     from utils.PGCU import PGCU
@@ -548,4 +572,5 @@ if __name__ == "__main__":
     golden_unet_legacy()
     golden_attention()
     golden_attnpp()
+    golden_orphan_blocks()
     golden_pgcu()
