@@ -131,6 +131,35 @@ def test_add_noise_parity(env):
     np.testing.assert_allclose(np.asarray(one), g["add_noise_xt"][1], atol=1e-5)
 
 
+def test_cfg_unit_scale_degrades_to_conditional(env, rng):
+    """guidance_scale=1.0 must silently collapse to the conditional-only
+    path — algebraically (w+1)·c − w·u at w=0 in the reference
+    parameterisation (`dpm_solver_pytorch.py:336-344` skips the 2× batch
+    entirely when scale==1); pin both the math and the single-eval shortcut."""
+    g, ns, x_T, cond, toy, toy_linear = env
+    calls = []
+
+    def counting_toy(x, t, *extra):
+        calls.append(x.shape[0])
+        return toy(x, t, *extra)
+
+    w_cfg = WrappedModel(
+        counting_toy, model_type="noise", guidance_type="classifier-free",
+        guidance_scale=1.0, condition=cond,
+        unconditional_condition=jnp.zeros_like(cond),
+    )
+    w_cond = WrappedModel(
+        counting_toy, model_type="noise", guidance_type="classifier-free",
+        guidance_scale=3.0, condition=cond, unconditional_condition=None,
+    )
+    t = jnp.full((x_T.shape[0],), 500.0)
+    a = w_cfg.noise(x_T, t, 0.5, 0.8)
+    b = w_cond.noise(x_T, t, 0.5, 0.8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # neither call doubled the batch
+    assert all(c == x_T.shape[0] for c in calls)
+
+
 def test_dynamic_thresholding_basic(rng):
     x = jnp.asarray(rng.standard_normal((2, 3, 4, 4)) * 3, jnp.float32)
     y = dynamic_thresholding(x)

@@ -28,6 +28,35 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+class TestPallasConv:
+    @pytest.mark.parametrize("shape", [(2, 16, 12, 8, 16), (1, 32, 32, 16, 8)])
+    def test_matches_xla(self, rng, shape):
+        from jax import lax
+
+        from tmdiff_tpu.ops.pallas.conv2d import conv3x3_nhwc
+
+        b, h, w, c, co = shape
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, c, co)), jnp.float32)
+        y = conv3x3_nhwc(x, k)
+        ref = lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+    def test_bandlanes_pallas_backend(self, rng, monkeypatch):
+        """The full band-into-lanes lowering with the Pallas conv backend
+        must match the XLA backend bit-for-bit semantics."""
+        import tmdiff_tpu.ops.modconv as mc
+
+        x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 8)), jnp.float32)
+        ref = mc._conv3d_bandlanes(x, k)
+        monkeypatch.setattr(mc, "BANDLANES_CONV", "pallas")
+        out = mc._conv3d_bandlanes(x, k)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 class TestDynamicConv:
     def test_mixing_identity(self, rng):
         """Σ_k a_k conv(x, W_k) must equal conv with per-sample mixed weights."""

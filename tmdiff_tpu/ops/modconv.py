@@ -44,6 +44,10 @@ DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 # Same math in all cases. Selectable for benchmarking.
 CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "auto")
 
+# Backend for the band-into-lanes 3×3 conv: "xla" (conv_general_dilated) or
+# "pallas" (ops/pallas/conv2d.py halo-strip kernel).
+BANDLANES_CONV = os.environ.get("TMDIFF_BANDLANES_CONV", "xla")
+
 
 def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
     """Empirical win rule for the band-into-lanes lowering, from the v5e A/B
@@ -77,10 +81,19 @@ def _conv3d_bandlanes(x: jax.Array, kernel: jax.Array):
     kg = kg * jnp.asarray(valid, kernel.dtype)[:, :, None, None, None, None]
     w2 = kg.transpose(2, 3, 0, 4, 1, 5).reshape(kh, kw, d * cin, d * cout)
     x2 = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)
-    y = lax.conv_general_dilated(
-        x2, w2.astype(x.dtype), (1, 1), "SAME",
-        dimension_numbers=DIMENSION_NUMBERS_2D,
-    )
+    if (
+        BANDLANES_CONV == "pallas"
+        and (kh, kw) == (3, 3)
+        and h % 8 == 0
+    ):
+        from tmdiff_tpu.ops.pallas.conv2d import conv3x3_nhwc
+
+        y = conv3x3_nhwc(x2, w2.astype(x.dtype))
+    else:
+        y = lax.conv_general_dilated(
+            x2, w2.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=DIMENSION_NUMBERS_2D,
+        )
     return y.reshape(b, h, w, d, cout).transpose(0, 3, 1, 2, 4)
 
 
