@@ -43,13 +43,19 @@ def measure(batch, size, n_steps=24):
         ema = jax.tree.map(lambda x: x, params)
         return params, ema, opt_state, res, pan, ms
 
+    # jax.checkpoint: trades recompute for activation memory AND (decisive
+    # here) restructures the backward HLO so the tunnel's remote-compile
+    # helper doesn't SIGILL — the un-rematerialised gradient of this model
+    # crashes it at every size/lowering (benchmarks/train_bisect4.py).
+    apply_ckpt = jax.checkpoint(model.apply)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, ema, opt_state, res, pan, ms, i):
         rng = jax.random.fold_in(jax.random.key(7), i)
 
         def loss_fn(p):
             return gaussian.diffusion_loss(
-                lambda x, t, pan_, ms_: model.apply(p, x, t, pan_, ms_, emb),
+                lambda x, t, pan_, ms_: apply_ckpt(p, x, t, pan_, ms_, emb),
                 ns, rng, res, pan, ms)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tmdiff_tpu.models.unet_legacy import StridedDownStage, TransposedUpStage
+from tmdiff_tpu.models.legacy_blocks import StridedDownStage, TransposedUpStage
 from tmdiff_tpu.utils.torch_import import import_state_dict
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tmdiff_tpu.models.blocks import AdaptionHead, ResBlockModulate, swish
-from tmdiff_tpu.models.unet_legacy import (
+from tmdiff_tpu.models.legacy_blocks import (
     LegacyFinalBlock,
     StridedDownStage,
     TransposedUpStage,

@@ -69,6 +69,11 @@ class Trainer:
     grad_clip: Optional[float] = None
     mesh: Optional[Any] = None  # jax.sharding.Mesh
     seed: int = 3407
+    # Rematerialise the model in the backward pass: ~halves activation HBM
+    # at 256² (recompute is cheap next to conv FLOPs), and — on the dev TPU
+    # tunnel — restructures the backward HLO so the remote-compile helper
+    # doesn't SIGILL (benchmarks/train_bisect4.py). Default on.
+    remat: bool = True
 
     def __post_init__(self):
         self.lr_fn = hf_linear_schedule(self.lr, self.warmup_steps, self.max_iter)
@@ -110,11 +115,19 @@ class Trainer:
     # -- the step ------------------------------------------------------------
 
     def _loss_fn(self, params, rng, batch, prompt_emb):
-        def denoise(x, t, pan, ms):
+        def apply(p, x, t, pan, ms, emb):
+            # static kwargs closed over: jax.checkpoint traces every explicit
+            # argument (a bare `train=True` would become a tracer).
             return self.model.apply(
-                params, x, t, pan, ms, prompt_emb,
+                p, x, t, pan, ms, emb,
                 train=True, rngs={"dropout": jax.random.fold_in(rng, 1)},
             )
+
+        if self.remat:
+            apply = jax.checkpoint(apply)
+
+        def denoise(x, t, pan, ms):
+            return apply(params, x, t, pan, ms, prompt_emb)
 
         return gaussian.diffusion_loss(
             denoise, self.schedule, jax.random.fold_in(rng, 0),

@@ -531,6 +531,66 @@ def golden_orphan_blocks():
     print("orphan block goldens written")
 
 
+def golden_loss_zoo():
+    """Reference experimental losses (`core/mylib.py:310-1540`): the named
+    loss_funcN combinations, SAMLoss, dwt butterfly, FLoss."""
+    # Neutralise hard-coded .cuda() calls inside the loss code.
+    _orig_tcuda = torch.Tensor.cuda
+    _orig_mcuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        from core import mylib
+
+        B, C, H, W = 2, 4, 16, 16
+        ref = torch.from_numpy(rng.standard_normal((B, C, H, W)).astype(np.float32))
+        out = torch.from_numpy(rng.standard_normal((B, C, H, W)).astype(np.float32))
+        pan = torch.from_numpy(rng.standard_normal((B, 1, H, W)).astype(np.float32))
+        ms = torch.from_numpy(rng.standard_normal((B, C, H, W)).astype(np.float32))
+        q = torch.from_numpy(rng.standard_normal((B, 8, 16)).astype(np.float32))
+        k = torch.from_numpy(rng.standard_normal((B, 8, 16)).astype(np.float32))
+        v = torch.from_numpy(rng.standard_normal((B, 8, 16)).astype(np.float32))
+        q1 = torch.from_numpy(rng.standard_normal((B, 8, 16)).astype(np.float32))
+        k1 = torch.from_numpy(rng.standard_normal((B, 8, 16)).astype(np.float32))
+        v1 = torch.from_numpy(rng.standard_normal((B, 8, 16)).astype(np.float32))
+
+        out_d = {
+            "ref": ref.numpy(), "out": out.numpy(), "pan": pan.numpy(),
+            "ms": ms.numpy(), "q": q.numpy(), "k": k.numpy(), "v": v.numpy(),
+            "q1": q1.numpy(), "k1": k1.numpy(), "v1": v1.numpy(),
+        }
+        with torch.no_grad():
+            out_d["loss_func1"] = mylib.loss_func1()(ref, pan, ms, out).numpy()
+            out_d["loss_func2"] = mylib.loss_func2()(ref, pan, ms, out).numpy()
+            out_d["loss_func8"] = mylib.loss_func8()(pan, ms, out).numpy()
+            # loss_func9 is unrunnable upstream: torch's
+            # cosine_embedding_loss rejects its 4-D target (mylib:676-678).
+            out_d["loss_func22"] = mylib.loss_func22()(ref, out).numpy()
+            out_d["loss_func6"] = mylib.loss_func6()(
+                ref, pan, ms, out, q, k, v, q1, k1, v1
+            ).numpy()
+            out_d["sam_loss"] = mylib.SAMLoss()(ref, out).numpy()
+            ll, lh, hl, hh = mylib.dwt(ref)
+            out_d["dwt_ll"], out_d["dwt_lh"] = ll.numpy(), lh.numpy()
+            out_d["dwt_hl"], out_d["dwt_hh"] = hl.numpy(), hh.numpy()
+
+            torch.manual_seed(29)
+            fl = mylib.FLoss(dv=C * H * W, do=32, lambd=0.005).train()
+            f1 = torch.from_numpy(rng.standard_normal((8, C, H, W)).astype(np.float32))
+            f2 = torch.from_numpy(rng.standard_normal((8, C, H, W)).astype(np.float32))
+            out_d["floss"] = fl(f1, f2).numpy()
+            out_d["floss_f1"], out_d["floss_f2"] = f1.numpy(), f2.numpy()
+            out_d["floss_w1"] = fl.layer1.weight.detach().numpy()
+            out_d["floss_b1"] = fl.layer1.bias.detach().numpy()
+            out_d["floss_w2"] = fl.layer2.weight.detach().numpy()
+            out_d["floss_b2"] = fl.layer2.bias.detach().numpy()
+        np.savez(os.path.join(OUT, "loss_zoo.npz"), **out_d)
+        print("loss zoo goldens written")
+    finally:
+        torch.Tensor.cuda = _orig_tcuda
+        torch.nn.Module.cuda = _orig_mcuda
+
+
 def golden_pgcu():
     """Reference PGCU forward + full state dict for transplant."""
     from utils.PGCU import PGCU
@@ -573,4 +633,5 @@ if __name__ == "__main__":
     golden_attention()
     golden_attnpp()
     golden_orphan_blocks()
+    golden_loss_zoo()
     golden_pgcu()
