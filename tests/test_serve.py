@@ -1,0 +1,155 @@
+"""Serving subsystem: batching engine semantics + HTTP round-trip.
+
+The reference has no serving layer (its val loop is the closest thing,
+`general_sharpening_joint_random_batch_finetune.py:126-152`); these tests pin
+the engine's contracts: coalescing concurrent requests into one padded device
+batch, per-request result extraction, non-co-batchable traffic survival,
+error propagation, and the stdlib HTTP front-end."""
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmdiff_tpu.data.synthetic import make_arrays
+
+
+@pytest.fixture(scope="module")
+def sharp():
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.pipeline import Pansharpener
+
+    model = WavBEST(channels=(4, 8, 8, 16))
+    data = make_arrays(n=2, bands=4, size=16)
+    x = jnp.asarray(data["gt"] - data["lms"])
+    params = model.init(
+        jax.random.key(0), x, jnp.array([1, 2]),
+        jnp.asarray(data["pan"]), jnp.asarray(data["lms"]),
+        jnp.zeros(768),
+    )
+    return Pansharpener(model, params, n_timestep=10)
+
+
+def _image(seed, bands=4, size=16):
+    rng = np.random.default_rng(seed)
+    return (rng.random((1, size, size), np.float32),
+            rng.random((bands, size, size), np.float32))
+
+
+def test_engine_batches_concurrent_requests(sharp):
+    from tmdiff_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(sharp, method="regression", max_batch=4,
+                             max_delay_ms=200.0)
+    try:
+        pans, mss = zip(*[_image(i) for i in range(4)])
+        futs = [engine.submit(p, m, "QB") for p, m in zip(pans, mss)]
+        outs = [f.result(timeout=120) for f in futs]
+        for ms, out in zip(mss, outs):
+            assert out.shape == ms.shape
+            assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+        # all four must have ridden one device batch
+        assert engine.stats["batches"] == 1
+        assert engine.stats["batch_size_hist"] == {4: 1}
+        assert engine.stats["padded_slots"] == 0
+        # engine result for slot i == direct sampler output for the same
+        # stacked batch and seed (padding/extraction adds nothing)
+        direct = sharp.sample(
+            {"PAN": np.stack(pans), "MS": np.stack(mss)},
+            sensor="QB", method="regression", seed=0,
+        )
+        np.testing.assert_allclose(np.stack(outs), direct, atol=1e-6)
+    finally:
+        engine.shutdown()
+
+
+def test_engine_pads_to_bucket_and_mixes_groups(sharp):
+    from tmdiff_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(sharp, method="regression", max_batch=4,
+                             max_delay_ms=150.0)
+    try:
+        # 3 co-batchable QB requests + 1 different-shape request interleaved
+        p16, m16 = _image(0)
+        p8, m8 = _image(1, size=8)
+        futs = [
+            engine.submit(p16, m16, "QB"),
+            engine.submit(p8, m8, "QB"),  # different shape → separate batch
+            engine.submit(p16, m16, "QB"),
+            engine.submit(p16, m16, "QB"),
+        ]
+        outs = [f.result(timeout=120) for f in futs]
+        assert outs[0].shape == m16.shape and outs[1].shape == m8.shape
+        assert engine.stats["requests"] == 4
+        assert engine.stats["batches"] == 2
+        # the 3-request group padded up to the 4-bucket
+        assert engine.stats["padded_slots"] == 1
+        for out in outs:
+            assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+    finally:
+        engine.shutdown()
+
+
+def test_engine_error_propagates_without_killing_worker(sharp):
+    from tmdiff_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(sharp, method="regression", max_batch=2,
+                             max_delay_ms=5.0)
+    try:
+        with pytest.raises(ValueError, match="one image per request"):
+            engine.submit(np.zeros((2, 1, 16, 16)), np.zeros((4, 16, 16)))
+        # 768-band garbage breaks inside the sampler → future gets the error
+        bad = engine.submit(np.zeros((1, 16, 16)), np.zeros((3, 15, 15)))
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        # worker is still alive and serves the next request
+        p, m = _image(3)
+        out = engine.submit(p, m, "QB").result(timeout=120)
+        assert out.shape == m.shape
+    finally:
+        engine.shutdown()
+
+
+def test_http_server_round_trip(sharp):
+    from tmdiff_tpu.serve import InferenceEngine, make_server, \
+        serve_forever_in_thread
+
+    engine = InferenceEngine(sharp, method="regression", max_batch=2,
+                             max_delay_ms=5.0)
+    server = make_server(engine, "127.0.0.1", 0)
+    serve_forever_in_thread(server)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r) == {"ok": True}
+
+        pan, ms = _image(7)
+        buf = io.BytesIO()
+        np.savez(buf, pan=pan, ms=ms, sensor="QB")
+        req = urllib.request.Request(
+            f"{base}/v1/pansharpen", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = np.load(io.BytesIO(r.read()))["sr"]
+        assert out.shape == ms.shape
+        assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["requests"] == 1 and stats["batches"] == 1
+
+        # malformed body → 400, not a dead server
+        req = urllib.request.Request(
+            f"{base}/v1/pansharpen", data=b"not-an-npz", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        engine.shutdown()

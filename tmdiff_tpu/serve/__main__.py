@@ -1,0 +1,93 @@
+"""Serve a trained checkpoint:
+
+  python -m tmdiff_tpu.serve -c config.json --ckpt <orbax dir | I*_gen.pth> \
+      [--port 8000] [--sampler dpm++] [--steps 30] [--max-batch 8] \
+      [--warmup 8,256,256]
+
+Builds the model from the config (`model.unet.channel_multiplier`,
+`model.beta_schedule.val`), loads weights (orbax native or reference torch
+`.pth` via the importer), precompiles the serving programs, then blocks.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--sampler", default="dpm++",
+                   choices=["dpm++", "dpm++_noise", "ancestral", "regression"])
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-delay-ms", type=float, default=15.0)
+    p.add_argument("--use-ema", action="store_true",
+                   help="serve EMA weights instead of online weights")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the denoiser in bfloat16 (+~27%% throughput on "
+                        "v5e, BASELINE.md sampling study)")
+    p.add_argument("--warmup", default=None,
+                   help="bands,H,W to precompile before binding the port")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from tmdiff_tpu.config import parse_config
+    from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.pipeline import Pansharpener
+    from tmdiff_tpu.serve import InferenceEngine, make_server
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+    from tmdiff_tpu.train.trainer import Trainer
+
+    import jax.numpy as jnp
+
+    opt = parse_config(args.config, phase="val")
+    sched_opt = opt["model"]["beta_schedule"]["val"]
+    channels = tuple(opt["model"]["unet"]["channel_multiplier"] or (32, 64, 128, 256))
+    model = WavBEST(channels=channels,
+                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    trainer = Trainer(
+        model=model,
+        schedule=NoiseSchedule.create(sched_opt["schedule"], sched_opt["n_timestep"]),
+        lr=1e-4,
+    )
+    # a minimal batch just to shape the state template for restore
+    bands = int(opt.get("serve_bands") or 8)
+    tmpl = {
+        "PAN": np.zeros((1, 1, 64, 64), np.float32),
+        "MS": np.zeros((1, bands, 64, 64), np.float32),
+        "Res": np.zeros((1, bands, 64, 64), np.float32),
+    }
+    sharp = Pansharpener(
+        model, params=None,
+        schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
+    )
+    state = trainer.init_state(tmpl, np.asarray(sharp.prompt_embedding("QB")))
+    if args.ckpt.endswith(".pth") or os.path.exists(args.ckpt + "_gen.pth"):
+        path = args.ckpt if args.ckpt.endswith(".pth") else args.ckpt + "_gen.pth"
+        state = ckpt_lib.import_reference_checkpoint(path, state)
+    else:
+        state = ckpt_lib.restore_checkpoint(args.ckpt, state)
+    sharp.params = state.ema_params if args.use_ema else state.params
+
+    engine = InferenceEngine(
+        sharp, method=args.sampler, steps=args.steps,
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+    )
+    if args.warmup:
+        shape = tuple(int(x) for x in args.warmup.split(","))
+        print(f"warming up {shape} x buckets {engine.buckets} ...", flush=True)
+        engine.warmup([shape])
+    server = make_server(engine, args.host, args.port)
+    print(f"serving on {args.host}:{args.port} "
+          f"(sampler={args.sampler}, max_batch={args.max_batch})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
