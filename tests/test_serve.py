@@ -94,6 +94,40 @@ def test_engine_pads_to_bucket_and_mixes_groups(sharp):
         engine.shutdown()
 
 
+def test_mixed_sensor_batch_conditions_per_sample(sharp):
+    """`sensor` may be a list: per-sample prompt embeddings flow through the
+    whole sampler (the reference can only condition a batch on one sensor).
+    With a fixed x_init the dpm++ path is deterministic, so slot 0 must be
+    bit-identical across calls while slot 1 must differ when its sensor
+    changes."""
+    pan, ms = _image(11)
+    batch = {"PAN": np.stack([pan, pan]), "MS": np.stack([ms, ms])}
+    x_init = np.random.default_rng(5).standard_normal(
+        batch["MS"].shape).astype(np.float32)
+    same = sharp.sample(batch, sensor=["QB", "QB"], method="dpm++",
+                        steps=4, x_init=x_init)
+    mixed = sharp.sample(batch, sensor=["QB", "WV3"], method="dpm++",
+                         steps=4, x_init=x_init)
+    np.testing.assert_array_equal(same[0], mixed[0])
+    assert not np.array_equal(same[1], mixed[1])
+
+
+def test_engine_coalesces_mixed_sensors(sharp):
+    from tmdiff_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(sharp, method="regression", max_batch=4,
+                             max_delay_ms=200.0)
+    try:
+        futs = [engine.submit(*_image(i), sensor)
+                for i, sensor in enumerate(["QB", "WV3", "GF2", "WV2"])]
+        outs = [f.result(timeout=120) for f in futs]
+        assert engine.stats["batches"] == 1  # four sensors, ONE device batch
+        for out in outs:
+            assert np.isfinite(out).all()
+    finally:
+        engine.shutdown()
+
+
 def test_engine_error_propagates_without_killing_worker(sharp):
     from tmdiff_tpu.serve import InferenceEngine
 

@@ -58,8 +58,15 @@ class Pansharpener:
         self.prompt_index = index
         self._compiled: dict = {}
 
-    def prompt_embedding(self, sensor: str):
-        return self.prompt_table[self.prompt_index[sensor]]
+    def prompt_embedding(self, sensor):
+        """(768,) for one sensor name, or (B, 768) for a sequence of names —
+        the model broadcasts a single vector and modulates per-sample when
+        given rows (WavBEST.prompt_embed), so mixed-sensor batches are
+        first-class (the reference can only run one sensor per batch)."""
+        if isinstance(sensor, str):
+            return self.prompt_table[self.prompt_index[sensor]]
+        rows = np.array([self.prompt_index[s] for s in sensor])
+        return self.prompt_table[rows]
 
     # -- sampler program builders (compiled once per config) -------------------
 
@@ -143,7 +150,7 @@ class Pansharpener:
     def sample(
         self,
         batch: dict,
-        sensor: str = "QB",
+        sensor="QB",  # one sensor name, or one name per batch element
         method: str = "dpm++",
         seed: int = 0,
         steps: Optional[int] = None,

@@ -10,9 +10,10 @@ server must (a) never recompile in steady state and (b) coalesce concurrent
 requests into full batches.
 
 Design:
-  * requests (one image each) are grouped by (sensor, MS shape) — one
-    compiled program per (shape bucket, sampler config), cached by the
-    underlying `Pansharpener`;
+  * requests (one image each) are grouped by MS shape — sensors mix freely
+    within a batch (per-sample prompt embeddings; the reference can only run
+    one sensor per batch) — one compiled program per (shape bucket, sampler
+    config), cached by the underlying `Pansharpener`;
   * batches are padded up to a fixed bucket size (default powers of two up
     to `max_batch`) by edge-replicating the last request, so the number of
     distinct compiled programs is bounded and known ahead of time
@@ -104,23 +105,23 @@ class InferenceEngine:
         return fut
 
     def warmup(self, shapes: Sequence[tuple[int, int, int]],
-               sensors: Sequence[str] = ("QB",)) -> None:
+               sensor: str = "QB") -> None:
         """Precompile every (shape, bucket) program before serving traffic.
 
         `shapes` are (bands, H, W) tuples. Compilation happens through the
-        normal submit path so the cache keys are identical to production's.
-        Each bucket's batch is submitted and AWAITED separately — submitting
-        everything at once would let the worker coalesce across buckets and
-        only ever compile the largest one.
+        normal submit path so the cache keys are identical to production's
+        (sensor identity doesn't affect the compiled program — embeddings are
+        runtime data). Each bucket's batch is submitted and AWAITED
+        separately — submitting everything at once would let the worker
+        coalesce across buckets and only ever compile the largest one.
         """
         for bands, h, w in shapes:
             ms = np.zeros((bands, h, w), np.float32)
             pan = np.zeros((1, h, w), np.float32)
-            for sensor in sensors:
-                for b in self.buckets:
-                    futs = [self.submit(pan, ms, sensor) for _ in range(b)]
-                    for f in futs:
-                        f.result()
+            for b in self.buckets:
+                futs = [self.submit(pan, ms, sensor) for _ in range(b)]
+                for f in futs:
+                    f.result()
 
     def shutdown(self) -> None:
         self._queue.put(None)
@@ -134,7 +135,10 @@ class InferenceEngine:
             if req is None:
                 return
             group = [req]
-            key = (req.sensor, req.ms.shape)
+            # co-batchable = same MS shape; sensors may mix freely (the
+            # sampler takes per-sample prompt embeddings), which keeps batch
+            # occupancy high under heterogeneous-sensor traffic
+            key = req.ms.shape
             deadline = time.monotonic() + self.max_delay_ms / 1e3
             leftovers = []
             while len(group) < self.max_batch:
@@ -152,7 +156,7 @@ class InferenceEngine:
                             r.future.set_exception(
                                 RuntimeError("engine shut down"))
                     return
-                if (nxt.sensor, nxt.ms.shape) == key:
+                if nxt.ms.shape == key:
                     group.append(nxt)
                 else:
                     leftovers.append(nxt)
@@ -174,8 +178,9 @@ class InferenceEngine:
             with self._lock:
                 seed = self._seed
                 self._seed += 1
+            sensors = [r.sensor for r in group] + [group[-1].sensor] * (b - n)
             out = self.sharp.sample(
-                {"PAN": pan, "MS": ms}, sensor=group[0].sensor,
+                {"PAN": pan, "MS": ms}, sensor=sensors,
                 method=self.method, steps=self.steps, seed=seed,
             )
             now = time.monotonic()
