@@ -38,9 +38,17 @@ DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 #   "bandlanes" — bands folded into *lanes* (B, H, W, D·C) with a dense
 #                 block-banded (kh, kw, D·Cin, D·Cout) kernel: D/kd× the true
 #                 FLOPs, but fills all 128 MXU output lanes when Cout < 128.
-#   "auto"      — per-call choice between the two by measured-win rule
-#                 (see `_bandlanes_wins`).
 #   "lax"       — XLA's native 3-D convolution.
+#   "auto"      — bandlanes where it wins (see `_bandlanes_wins`); fold2d for
+#                 1-tap convs (windowless — just a reshape + 1×1 2-D conv,
+#                 measured SPMD-exact); native lax for the remaining
+#                 multi-tap Cout≥128 convs, where it beats fold2d anyway
+#                 (BASELINE.md probe: 2.87 vs 3.00 ms @C128/64²) AND is
+#                 partitioned exactly by XLA SPMD. The multi-tap fold2d's
+#                 depth-shift concat mis-partitions under a sharded mesh
+#                 (wrong results, not just slow — tests/test_sharded_sampling
+#                 + the modconv SPMD suite pin this), so auto never selects
+#                 it for kd>1.
 # Same math in all cases. Selectable for benchmarking.
 CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "auto")
 
@@ -72,6 +80,17 @@ def _conv3d_bandlanes(x: jax.Array, kernel: jax.Array):
     negligible next to the conv itself."""
     b, d, h, w, c = x.shape
     kd, kh, kw, cin, cout = kernel.shape
+    if h < kh or w < kw:
+        # Window overhangs the whole image. Numerically fine single-device,
+        # but the XLA SPMD partitioner mis-partitions THIS layout when the
+        # sharded spatial dim is smaller than the window (measured: wrong
+        # results at global H=2 / 1-row shards on an ("data","space") mesh,
+        # jax 0.9.0, while the native conv stays exact). Such levels are
+        # FLOP-trivial, so route them to the native lowering unconditionally.
+        return lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=DIMENSION_NUMBERS_3D,
+        )
     pad = kd // 2
     din = np.arange(d)[:, None]
     dout = np.arange(d)[None, :]
@@ -129,11 +148,12 @@ def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1))
     if padding == "SAME" and tuple(stride) == (1, 1, 1):
         impl = CONV3D_IMPL
         if impl == "auto":
-            impl = (
-                "bandlanes"
-                if _bandlanes_wins(x.shape[1], kernel.shape[0], kernel.shape[-1])
-                else "fold2d"
-            )
+            if _bandlanes_wins(x.shape[1], kernel.shape[0], kernel.shape[-1]):
+                impl = "bandlanes"
+            elif kernel.shape[0] == 1:
+                impl = "fold2d"
+            else:
+                impl = "lax"
         if impl == "bandlanes":
             return _conv3d_bandlanes(x, kernel)
         if impl == "fold2d":

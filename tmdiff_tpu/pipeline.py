@@ -48,6 +48,7 @@ class Pansharpener:
     schedule_name: str = "cosine"
     n_timestep: int = 1000
     model_type: str = "x_start"  # training objective of `params`
+    mesh: Any = None  # optional jax.sharding.Mesh ("data","space") for SPMD sampling
 
     def __post_init__(self):
         self.ns = NoiseSchedule.create(self.schedule_name, self.n_timestep)
@@ -57,6 +58,7 @@ class Pansharpener:
         self.prompt_table = jnp.asarray(table)
         self.prompt_index = index
         self._compiled: dict = {}
+        self._replicated_params = None  # lazy device_put cache (mesh mode)
 
     def prompt_embedding(self, sensor):
         """(768,) for one sensor name, or (B, 768) for a sequence of names —
@@ -175,11 +177,33 @@ class Pansharpener:
                 method, steps, guidance, legacy_noise_inversion, num_frames
             )
         prompt_emb = self.prompt_embedding(sensor)
+        use_params = params if params is not None else self.params
+        x_init = None if x_init is None else jnp.asarray(x_init)
+        step_noise = None if step_noise is None else jnp.asarray(step_noise)
+        if self.mesh is not None:
+            # SPMD sampling: batch over "data", image height over "space"
+            # (conv halo exchange emitted by XLA); weights replicated. One
+            # Pansharpener on an N-chip mesh is the multi-chip serving cell —
+            # the batching engine (serve/) needs no changes.
+            from tmdiff_tpu.parallel.mesh import batch_sharding, replicated
+
+            def put(a):
+                return (
+                    None if a is None else jax.device_put(
+                        a, batch_sharding(self.mesh, a.ndim, a.shape))
+                )
+
+            pan, ms, x_init, step_noise = map(put, (pan, ms, x_init, step_noise))
+            prompt_emb = jax.device_put(prompt_emb, replicated(self.mesh))
+            if params is None:
+                if self._replicated_params is None:
+                    self._replicated_params = jax.device_put(
+                        self.params, replicated(self.mesh))
+                use_params = self._replicated_params
+            else:
+                use_params = jax.device_put(params, replicated(self.mesh))
         out = self._compiled[key](
-            params if params is not None else self.params,
-            pan, ms, prompt_emb, seed,
-            None if x_init is None else jnp.asarray(x_init),
-            None if step_noise is None else jnp.asarray(step_noise),
+            use_params, pan, ms, prompt_emb, seed, x_init, step_noise,
         )
         if method == "ancestral" and num_frames:
             final, frames = out
