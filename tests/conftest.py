@@ -18,25 +18,13 @@ if not os.environ.get("TMDIFF_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # Persistent compilation cache, fingerprinted by host microarchitecture.
-    # A bare shared cache is unsafe on XLA:CPU — its keys ignore CPU features,
-    # so AOT code compiled on an avx512 host SIGILLs elsewhere (observed in
-    # round 1). Keying the cache DIRECTORY by (cpu flags, jax version) keeps
-    # warm re-runs on the same machine fast (~4x on this suite) while a
-    # different microarchitecture simply starts a fresh directory.
-    if not os.environ.get("TMDIFF_NO_COMPILE_CACHE"):
-        import hashlib
-        import tempfile
-
-        try:
-            with open("/proc/cpuinfo") as f:
-                cpu = next((l for l in f if l.startswith("flags")), "")
-        except OSError:
-            cpu = ""
-        fp = hashlib.sha256(f"{cpu}|{jax.__version__}".encode()).hexdigest()[:12]
-        cache_dir = os.path.join(tempfile.gettempdir(), f"tmdiff_xla_cache_{fp}")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # NOTE: do NOT enable jax's persistent compilation cache here — XLA:CPU
+    # AOT entries are unreliable to reload even on the SAME machine: XLA
+    # bakes pseudo-features like +prefer-no-scatter/+prefer-no-gather into
+    # the compile-machine feature list, the loader then reports them as
+    # "not supported on the host machine" and execution can go wrong
+    # (observed twice: round-1 cross-host SIGILL, and round-2 same-host
+    # cpu_aot_loader errors with a cpuinfo-fingerprinted cache directory).
 
 import numpy as np
 import pytest

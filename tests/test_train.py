@@ -108,6 +108,41 @@ def test_sharded_training_8dev():
     assert p0.sharding.is_fully_replicated
 
 
+def test_sharded_training_matches_single_device():
+    """Meshed train_step must produce the single-device numbers — the
+    regression net that would have caught the SPMD conv-lowering corner
+    (see ops/modconv.py lowering notes): loss trajectories and final params
+    must agree, not merely be finite."""
+    emb = np.asarray(get_prompt_embedding("WV3"))
+
+    def run(mesh):
+        ds = PanDataset(make_arrays(n=8, bands=4, size=16, seed=1))
+        it = BatchIterator(ds, batch_size=8, seed=1)
+        trainer = Trainer(
+            model=WavBEST(**TINY),
+            schedule=NoiseSchedule.create("cosine", 100),
+            lr=1e-3, mesh=mesh,
+        )
+        state = trainer.init_state(next(it), emb)
+        losses = []
+        for _ in range(2):
+            state, m = trainer.train_step(state, next(it), emb)
+            losses.append(float(m["l_pix"]))
+        return losses, jax.device_get(state.params)
+
+    ref_losses, ref_params = run(None)
+    spmd_losses, spmd_params = run(make_mesh(data=4, space=2))
+    np.testing.assert_allclose(spmd_losses, ref_losses, rtol=1e-5)
+    # params: Adam's 1/(sqrt(v)+eps) amplifies fp32 all-reduce reassociation
+    # noise on near-zero gradients, so the bound is looser than the loss one
+    # (measured honest noise ~2e-5 abs; the conv-lowering bug this test
+    # guards against produced ~0.7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3),
+        spmd_params, ref_params,
+    )
+
+
 def test_training_determinism(setup):
     """Same seed → bitwise-identical loss trajectory (jax.random threading;
     the reference's host-numpy RNG in the hot loop cannot guarantee this)."""
