@@ -76,6 +76,66 @@ def test_train_phase_end_to_end(workspace, monkeypatch):
     assert sr.shape == (16, 16, 4)
 
 
+def test_auto_resume_and_preemption(workspace, monkeypatch):
+    """Production train-loop robustness: a SIGTERM mid-training checkpoints
+    and exits cleanly; a re-run with `path.resume: "auto"` and a stable
+    `path.experiments_root` picks up from that checkpoint (the reference
+    requires hand-editing the resume path after every interruption)."""
+    import os as _os
+    import signal
+    import threading
+    import time
+
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    from tmdiff_tpu import cli
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+
+    cfg = json.loads((root / "smoke.json").read_text())
+    cfg["name"] = "smoke_auto"
+    cfg["path"]["experiments_root"] = str(root / "exp_auto")
+    cfg["path"]["resume"] = "auto"
+    cfg["train"]["max_iter"] = 100_000  # never reached; SIGTERM ends it
+    cfg["train"]["val_freq"] = 100_000
+    auto_cfg = root / "smoke_auto.json"
+    auto_cfg.write_text(json.dumps(cfg))
+    log_path = root / "exp_auto" / "logs" / "train.log"
+
+    def run_until(marker):
+        """Run training; SIGTERM the process once `marker` shows in the log
+        (i.e. after real progress, however long compiles take)."""
+        done = threading.Event()
+
+        def killer():
+            deadline = time.time() + 400
+            while not done.is_set() and time.time() < deadline:
+                try:
+                    if marker in log_path.read_text():
+                        _os.kill(_os.getpid(), signal.SIGTERM)
+                        return
+                except OSError:
+                    pass
+                time.sleep(0.2)
+
+        t = threading.Thread(target=killer, daemon=True)
+        t.start()
+        try:
+            cli.main(["-c", str(auto_cfg), "-p", "train",
+                      "--sampler", "regression"])
+        finally:
+            done.set()
+
+    run_until("step 1 ")
+    ckpt_dir = str(root / "exp_auto" / "checkpoint")
+    step1 = ckpt_lib.latest_step(ckpt_dir)
+    assert step1 is not None and step1 >= 1, "preemption checkpoint missing"
+
+    # second run resumes past step1, gets preempted again, checkpoints later
+    run_until(f"step {step1 + 1} ")
+    step2 = ckpt_lib.latest_step(ckpt_dir)
+    assert step2 > step1, f"auto-resume did not continue ({step1} -> {step2})"
+
+
 def test_val_phase_with_resume(workspace, monkeypatch):
     root, cfg_path = workspace
     monkeypatch.chdir(root)

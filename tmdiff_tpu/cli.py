@@ -23,6 +23,11 @@ from tmdiff_tpu.config import dict2str, parse_config
 def setup_logger(name, root, filename, screen=False):
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
+    # drop handlers from any previous run in this process — otherwise a
+    # second main() (tests, notebooks) keeps writing into the old run's files
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
     fmt = logging.Formatter(
         "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s", "%y-%m-%d %H:%M:%S"
     )
@@ -109,6 +114,20 @@ def main(argv=None):
 
     opt = parse_config(args.config, phase=args.phase, debug=args.debug)
     opt["log_eval"] = args.log_eval
+
+    # Graceful preemption: install stop handlers BEFORE the (minutes-long on
+    # a cold cache) model build, so a SIGTERM at any point after startup
+    # requests a clean checkpoint-and-exit instead of killing the process.
+    stop = {"flag": False}
+    prev_handlers = {}
+    if args.phase == "train":
+        import signal
+
+        def _request_stop(signum, frame):
+            stop["flag"] = True
+
+        for s in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[s] = signal.signal(s, _request_stop)
     logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
     val_logger = setup_logger("val", opt["path"]["log"], "val")
     logger.info(opt.get("info", opt["name"]))
@@ -167,7 +186,18 @@ def main(argv=None):
         logger.info(f"Applied init_type [{init_type}]")
 
     resume = opt["path"]["resume"]
-    if resume:
+    if resume == "auto":
+        # preemption-friendly resume: restart with the same config and pick
+        # up the newest checkpoint in this experiment's checkpoint dir (the
+        # reference requires hand-editing the resume path after every crash)
+        ckpt_dir = opt["path"]["checkpoint"]
+        if ckpt_lib.latest_step(ckpt_dir) is not None:
+            state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+            logger.info(
+                f"Auto-resumed from {ckpt_dir} at step {int(state.step)}")
+        else:
+            logger.info(f"Auto-resume: no checkpoint in {ckpt_dir}, fresh start")
+    elif resume:
         if resume.endswith(".pth") or os.path.exists(resume + "_gen.pth"):
             path = resume if resume.endswith(".pth") else resume + "_gen.pth"
             state = ckpt_lib.import_reference_checkpoint(path, state)
@@ -203,22 +233,38 @@ def main(argv=None):
         max_iter = train_opt.get("max_iter", 300_000)
         print_freq = train_opt.get("print_freq", 50)
         val_freq = train_opt.get("val_freq", 5000)
-        while current_step < max_iter:
-            batch, sensor = next(mixer)
-            emb = np.asarray(sharp.prompt_embedding(sensor))
-            state, metrics = trainer.train_step(state, batch, emb)
-            current_step += 1
-            if current_step % print_freq == 0:
-                logger.info(
-                    f"step {current_step} "
-                    + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
-                )
-            if current_step % val_freq == 0:
-                run_validation(state)
-                ckpt_lib.save_checkpoint(
+
+        try:
+            while current_step < max_iter and not stop["flag"]:
+                batch, sensor = next(mixer)
+                emb = np.asarray(sharp.prompt_embedding(sensor))
+                state, metrics = trainer.train_step(state, batch, emb)
+                current_step += 1
+                if current_step % print_freq == 0:
+                    logger.info(
+                        f"step {current_step} "
+                        + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
+                    )
+                if current_step % val_freq == 0:
+                    run_validation(state)
+                    ckpt_lib.save_checkpoint(
+                        opt["path"]["checkpoint"], state,
+                        keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
+                    )
+            if stop["flag"]:
+                path = ckpt_lib.save_checkpoint(
                     opt["path"]["checkpoint"], state,
-                    keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
+                    keep=train_opt.get("ckpt_keep"),
                 )
+                logger.info(
+                    f"Preemption signal: checkpointed step {current_step} "
+                    f"to {path}; resume with path.resume='auto'"
+                )
+        finally:
+            import signal
+
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)

@@ -59,10 +59,15 @@ def parse_config(
     if debug:
         opt["name"] = f"debug_{opt['name']}"
 
-    root = experiments_root or os.path.join(
-        "experiments", f"{opt['name']}_{timestamp()}"
-    )
     opt.setdefault("path", {})
+    # a stable root (config key or kwarg) makes re-runs land in the same
+    # tree — the precondition for `path.resume: "auto"` preemption recovery;
+    # default stays the reference's timestamped experiments/{name}_{ts}
+    root = (
+        experiments_root
+        or opt["path"].get("experiments_root")
+        or os.path.join("experiments", f"{opt['name']}_{timestamp()}")
+    )
     opt["path"]["experiments_root"] = root
     for key, sub in list(opt["path"].items()):
         if "resume" in key or "experiments" in key:
