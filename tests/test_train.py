@@ -143,6 +143,32 @@ def test_sharded_training_matches_single_device():
     )
 
 
+def test_mixed_sensor_training_batch(setup):
+    """Training accepts per-sample prompt embeddings (B, 768) — a
+    mixed-sensor batch in one step, which the reference's one-sensor-per-step
+    design cannot express. The per-sample conditioning must actually differ:
+    a batch of [QB, WV3] rows must not equal an all-QB batch's loss."""
+    trainer, it, emb_qb, make_state = setup
+    emb_wv3 = np.asarray(get_prompt_embedding("WV3"))
+    batch = next(it)
+
+    mixed = np.stack([emb_qb, emb_wv3] * 4)  # (8, 768) alternating sensors
+    uniform = np.stack([emb_qb] * 8)
+
+    state = make_state()
+    _, m_mixed = trainer.train_step(state, batch, mixed)
+    state = make_state()
+    _, m_uniform = trainer.train_step(state, batch, uniform)
+    state = make_state()
+    _, m_scalar = trainer.train_step(state, batch, emb_qb)
+
+    assert np.isfinite(float(m_mixed["l_pix"]))
+    # broadcasting a single row == explicit identical rows, bitwise
+    assert float(m_uniform["l_pix"]) == float(m_scalar["l_pix"])
+    # different per-sample conditioning changes the loss
+    assert float(m_mixed["l_pix"]) != float(m_uniform["l_pix"])
+
+
 def test_training_determinism(setup):
     """Same seed → bitwise-identical loss trajectory (jax.random threading;
     the reference's host-numpy RNG in the hot loop cannot guarantee this)."""
