@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tmdiff_tpu.ops import wavelet
-from tmdiff_tpu.ops.modconv import conv3d, modulated_conv3d
+from tmdiff_tpu.ops.modconv import conv3d, conv3d_cat, modulated_conv3d
 
 
 def swish(x):
@@ -51,14 +51,24 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        """`x` may be a tuple of parts — convolved as their channel concat
+        without materialising it (ops/modconv.py::conv3d_cat); the kernel
+        parameter is identical either way (transplant-stable)."""
+        parts = x if isinstance(x, tuple) else None
+        cin = sum(p.shape[-1] for p in parts) if parts else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (*self.kernel_size, cin, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        y = conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
+        if parts:
+            y = conv3d_cat(
+                tuple(p.astype(self.dtype) for p in parts),
+                kernel.astype(self.dtype),
+            )
+        else:
+            y = conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
         return y + bias.astype(y.dtype)
 
 
@@ -105,20 +115,46 @@ class ResBlockModulate(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, zemb, *, train: bool = False):
-        cin = x.shape[-1]
-        h = x
-        if self.use_temb:
-            h = h + nn.Dense(cin, name="dense1", dtype=self.dtype)(temb)[
-                :, None, None, None, :
-            ]
-        h = swish(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = Conv3d(self.features, (3, 3, 3), name="conv20", dtype=self.dtype)(h)
+        """`x` may be a tuple of channel parts (the decoder's 3-way skip
+        concat) — processed without ever materialising the concatenated
+        tensor: the temb projection/swish apply per part and both convs
+        slice their kernels (conv3d_cat). The eval path only; training
+        falls back to the real concat so the dropout mask RNG stream is
+        bit-identical to the reference semantics."""
+        if isinstance(x, tuple) and train:
+            x = jnp.concatenate(x, axis=-1)
+        parts = x if isinstance(x, tuple) else None
+        cin = sum(p.shape[-1] for p in parts) if parts else x.shape[-1]
+        if parts:
+            hs = parts
+            if self.use_temb:
+                d = nn.Dense(cin, name="dense1", dtype=self.dtype)(temb)[
+                    :, None, None, None, :
+                ]
+                off, shifted = 0, []
+                for p in hs:
+                    shifted.append(p + d[..., off : off + p.shape[-1]])
+                    off += p.shape[-1]
+                hs = shifted
+            hs = tuple(swish(p) for p in hs)  # dropout is identity (eval)
+            h = Conv3d(self.features, (3, 3, 3), name="conv20",
+                       dtype=self.dtype)(hs)
+        else:
+            h = x
+            if self.use_temb:
+                h = h + nn.Dense(cin, name="dense1", dtype=self.dtype)(temb)[
+                    :, None, None, None, :
+                ]
+            h = swish(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = Conv3d(self.features, (3, 3, 3), name="conv20", dtype=self.dtype)(h)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = ModConv3d(self.features, name="conv21", dtype=self.dtype)(h, zemb)
         if cin != self.features:
             x = Conv3d(self.features, (1, 1, 1), name="res_conv", dtype=self.dtype)(x)
+        elif parts:
+            x = jnp.concatenate(parts, axis=-1)  # unreachable in WavBEST (cin=3C≠C)
         return h + x
 
 

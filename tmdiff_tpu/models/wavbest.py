@@ -148,19 +148,15 @@ class WavBEST(nn.Module):
         x_h2, _ = self.down2(x_h1, temb, zemb, train=train)
         x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
 
+        # 3-way skip concats are passed as PARTS — the consuming ResBlock
+        # slices its kernels instead of materialising the concatenated
+        # activation (~0.8 GB of HBM traffic per outer-level concat at 256²;
+        # measured 11% faster per decoder conv — ops/modconv.py::conv3d_cat).
         h = self.middle1(x_h3, temb, zemb, train=train)
-        h = self.up1(
-            jnp.concatenate([h, c_h3, x_h3], axis=-1), temb, zemb, c_s3, train=train
-        )
-        h = self.up2(
-            jnp.concatenate([h, c_h2, x_h2], axis=-1), temb, zemb, c_s2, train=train
-        )
-        h = self.up3(
-            jnp.concatenate([h, c_h1, x_h1], axis=-1), temb, zemb, c_s1, train=train
-        )
-        out = self.final(
-            jnp.concatenate([h, c_h0, x_h0], axis=-1), temb, zemb, train=train
-        )
+        h = self.up1((h, c_h3, x_h3), temb, zemb, c_s3, train=train)
+        h = self.up2((h, c_h2, x_h2), temb, zemb, c_s2, train=train)
+        h = self.up3((h, c_h1, x_h1), temb, zemb, c_s1, train=train)
+        out = self.final((h, c_h0, x_h0), temb, zemb, train=train)
         return out[..., 0].astype(jnp.float32)
 
     # -- fused single-shot forward (reference semantics) -----------------------

@@ -167,6 +167,33 @@ def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1))
     )
 
 
+def conv3d_cat(parts, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1)):
+    """conv3d(concatenate(parts, axis=-1), kernel) WITHOUT materialising the
+    concat: the kernel's input-channel axis is sliced per part at trace time
+    and the partial convolutions are summed. Mathematically identical (up to
+    summation order); skips one full HBM round-trip of the concatenated
+    activation — measured 11% faster per decoder conv at the outer 256²
+    levels (BASELINE.md r2 concat A/B)."""
+    _, _, h, w, _ = parts[0].shape
+    kd, kh, kw = kernel.shape[:3]
+    if h < kh or w < kw:
+        # window overhangs the image: the XLA SPMD partitioner mis-computes
+        # the (in-jit kernel slice → conv) pattern at these sizes on a
+        # sharded mesh (pre-sliced kernels are exact — measured, see
+        # tests/test_sharded_sampling.py). Such levels are tiny; the concat
+        # costs nothing here.
+        return conv3d(jnp.concatenate(parts, axis=-1), kernel,
+                      padding=padding, stride=stride)
+    off, out = 0, None
+    for p in parts:
+        kpart = kernel[..., off : off + p.shape[-1], :]
+        off += p.shape[-1]
+        y = conv3d(p, kpart, padding=padding, stride=stride)
+        out = y if out is None else out + y
+    assert off == kernel.shape[-2], (off, kernel.shape)
+    return out
+
+
 def modulated_conv3d(
     x: jax.Array,
     kernel: jax.Array,
