@@ -203,6 +203,48 @@ class WaveletDown(nn.Module):
         return x + h, skip
 
 
+class GroupedSkipConv(nn.Module):
+    """3-group conv applied to the three HF subbands WITHOUT concatenating
+    them: group g's kernel/bias block convolves part g directly (groups never
+    mix channels). Parameter names and shapes match
+    `nn.Conv(features*3, (3,3,3), feature_group_count=3)` — kernel
+    (3,3,3,C,3C), bias (3C,) — so torch transplants are untouched."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        c = parts[0].shape[-1]
+        n = len(parts)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, c, n * self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (n * self.features,), jnp.float32
+        )
+        _, _, h, w, _ = parts[0].shape
+        if h < 3 or w < 3:
+            # window-overhang + in-jit kernel slice mis-partitions under a
+            # sharded mesh (see ops/modconv.py::conv3d_cat); tiny level —
+            # run the real grouped conv on the concat instead
+            x = jnp.concatenate(parts, axis=-1).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=n,
+            ) + bias.astype(self.dtype)
+            return tuple(jnp.split(y, n, axis=-1))
+        outs = []
+        for g, p in enumerate(parts):
+            kg = kernel[..., g * self.features : (g + 1) * self.features]
+            bg = bias[g * self.features : (g + 1) * self.features]
+            y = conv3d(p.astype(self.dtype), kg.astype(self.dtype))
+            outs.append(y + bg.astype(y.dtype))
+        return tuple(outs)
+
+
 class WaveletUp(nn.Module):
     """Residual wavelet upsampling: conv both branches, project the encoder's
     high-frequency skip through a 3-group conv, IDWT back to full resolution."""
@@ -220,15 +262,13 @@ class WaveletUp(nn.Module):
 
         # Grouped conv over [LH ∥ HL ∥ HH]: three independent 3×3×3 convs, one
         # per subband (reference convH_0, groups=3, `Hyper_unet_general.py:359-361`).
-        skip_cat = jnp.concatenate(skip, axis=-1) * 0.5
-        skip_cat = nn.Conv(
-            self.features * 3,
-            (3, 3, 3),
-            feature_group_count=3,
-            name="convH_0",
-            dtype=self.dtype,
-        )(skip_cat) * 2.0
-        lh, hl, hh = jnp.split(skip_cat, 3, axis=-1)
+        # Groups never mix, so each subband is convolved directly with its
+        # kernel block — no concat materialisation, no split. Param layout is
+        # identical to flax nn.Conv(feature_group_count=3) (transplant-stable).
+        lh, hl, hh = GroupedSkipConv(
+            self.features, name="convH_0", dtype=self.dtype
+        )(tuple(s * 0.5 for s in skip))
+        lh, hl, hh = lh * 2.0, hl * 2.0, hh * 2.0
 
         h = wavelet.idwt2d(2.0 * h, lh, hl, hh)
         x = wavelet.idwt2d(2.0 * x, lh, hl, hh)
