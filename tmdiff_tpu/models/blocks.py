@@ -117,12 +117,11 @@ class ResBlockModulate(nn.Module):
     def __call__(self, x, temb, zemb, *, train: bool = False):
         """`x` may be a tuple of channel parts (the decoder's 3-way skip
         concat) — processed without ever materialising the concatenated
-        tensor: the temb projection/swish apply per part and both convs
-        slice their kernels (conv3d_cat). The eval path only; training
-        falls back to the real concat so the dropout mask RNG stream is
-        bit-identical to the reference semantics."""
-        if isinstance(x, tuple) and train:
-            x = jnp.concatenate(x, axis=-1)
+        tensor: the temb projection/swish/dropout apply per part and both
+        convs slice their kernels (conv3d_cat). In training the per-part
+        dropout masks come from independent RNG folds — same marginal
+        semantics as one mask over the concat, different bit-stream
+        (determinism per seed still holds; pinned by test_train.py)."""
         parts = x if isinstance(x, tuple) else None
         cin = sum(p.shape[-1] for p in parts) if parts else x.shape[-1]
         if parts:
@@ -136,7 +135,10 @@ class ResBlockModulate(nn.Module):
                     shifted.append(p + d[..., off : off + p.shape[-1]])
                     off += p.shape[-1]
                 hs = shifted
-            hs = tuple(swish(p) for p in hs)  # dropout is identity (eval)
+            hs = tuple(
+                nn.Dropout(self.dropout, deterministic=not train)(swish(p))
+                for p in hs
+            )
             h = Conv3d(self.features, (3, 3, 3), name="conv20",
                        dtype=self.dtype)(hs)
         else:
