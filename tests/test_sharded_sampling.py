@@ -84,6 +84,26 @@ def test_conv3d_cat_spmd_exact(h):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_conv3d_bandtiles_correct_and_spmd_exact():
+    """The band-tiled lowering (auto's pick at Cout=64) must equal bandlanes
+    numerically and stay exact on a sharded mesh (its in-jit activation
+    pad/slice on the band axis is a new pattern the partitioner sees)."""
+    import tmdiff_tpu.ops.modconv as mc
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tmdiff_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 4, 8, 8, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 64, 64)).astype(np.float32) * 0.05)
+    ref = np.asarray(jax.jit(mc._conv3d_bandlanes)(x, k))
+    fn = jax.jit(lambda x, k: mc._conv3d_bandtiles(x, k, 2))
+    np.testing.assert_allclose(np.asarray(fn(x, k)), ref, atol=1e-4)
+    mesh = make_mesh(data=4, space=2)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "space", None, None)))
+    ks = jax.device_put(k, NamedSharding(mesh, P()))
+    np.testing.assert_allclose(np.asarray(fn(xs, ks)), ref, atol=1e-4)
+
+
 @pytest.mark.parametrize("impl,h", [
     ("auto", 8), ("auto", 4), ("auto", 2),  # mixed rule must be exact everywhere
     ("lax", 2),                              # native: exact at the corner

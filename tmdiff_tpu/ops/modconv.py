@@ -38,6 +38,10 @@ DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 #   "bandlanes" — bands folded into *lanes* (B, H, W, D·C) with a dense
 #                 block-banded (kh, kw, D·Cin, D·Cout) kernel: D/kd× the true
 #                 FLOPs, but fills all 128 MXU output lanes when Cout < 128.
+#   "bandtiles" — bandlanes with the output bands tiled in groups whose
+#                 tile_d·Cout = 128 lanes, consuming tile_d+2 input bands
+#                 (halo) each: smaller FLOP blow-up (1.33× at Cout=64) at
+#                 still-full lanes. Wins only at 64 ≤ Cout < 128.
 #   "lax"       — XLA's native 3-D convolution.
 #   "auto"      — bandlanes where it wins (see `_bandlanes_wins`); fold2d for
 #                 1-tap convs (windowless — just a reshape + 1×1 2-D conv,
@@ -116,6 +120,43 @@ def _conv3d_bandlanes(x: jax.Array, kernel: jax.Array):
     return y.reshape(b, h, w, d, cout).transpose(0, 3, 1, 2, 4)
 
 
+def _conv3d_bandtiles(x: jax.Array, kernel: jax.Array, tile_d: int):
+    """Band-tiled variant of bandlanes: output bands in groups of `tile_d`,
+    each consuming tile_d+2·pad input bands (halo) as lanes. FLOP blow-up is
+    (tile_d+2·pad)/kd — e.g. 1.33× at tile_d=2/kd=3 vs bandlanes' D/kd=2.67×
+    at D=8 — at full 128 output lanes when tile_d·Cout = 128. Measured 13%
+    faster than bandlanes at the C=64 level (BASELINE.md bandtiles A/B);
+    LOSES at C=32 (two dispatches + halo traffic outweigh the FLOP cut), so
+    `auto` selects it only for 64 ≤ Cout < 128."""
+    b, d, h, w, c = x.shape
+    kd, kh, kw, cin, cout = kernel.shape
+    if h < kh or w < kw:
+        return lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=DIMENSION_NUMBERS_3D,
+        )
+    pad = kd // 2
+    span = tile_d + 2 * pad
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    din = np.arange(span)[:, None]
+    dout = np.arange(tile_d)[None, :]
+    idx = din - (dout + pad) + pad  # tap index for (in-slab, out-in-tile)
+    valid = (0 <= idx) & (idx < kd)
+    kg = kernel[np.clip(idx, 0, kd - 1)]
+    kg = kg * jnp.asarray(valid, kernel.dtype)[:, :, None, None, None, None]
+    wt = kg.transpose(2, 3, 0, 4, 1, 5).reshape(kh, kw, span * cin, tile_d * cout)
+    outs = []
+    for t0 in range(0, d, tile_d):
+        slab = xp[:, t0 : t0 + span]
+        x2 = slab.transpose(0, 2, 3, 1, 4).reshape(b, h, w, span * c)
+        y = lax.conv_general_dilated(
+            x2, wt.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=DIMENSION_NUMBERS_2D,
+        )
+        outs.append(y.reshape(b, h, w, tile_d, cout))
+    return jnp.concatenate(outs, axis=3).transpose(0, 3, 1, 2, 4)
+
+
 def _conv3d_fold2d(x: jax.Array, kernel: jax.Array):
     """SAME/stride-1 3-D conv as a single folded 2-D conv.
 
@@ -147,13 +188,22 @@ def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1))
     """3-D conv: x (B, D, H, W, Cin), kernel (kd, kh, kw, Cin, Cout)."""
     if padding == "SAME" and tuple(stride) == (1, 1, 1):
         impl = CONV3D_IMPL
+        d, kd, cout = x.shape[1], kernel.shape[0], kernel.shape[-1]
         if impl == "auto":
-            if _bandlanes_wins(x.shape[1], kernel.shape[0], kernel.shape[-1]):
+            if _bandlanes_wins(d, kd, cout):
+                # NOT bandtiles: in isolation it beats bandlanes 13% at
+                # Cout=64 (1.33× vs 2.67× FLOPs at full lanes), but in the
+                # full model the headline DROPS 29.7 vs 30.1 — the per-tile
+                # concat/transpose breaks XLA fusion with the surrounding
+                # ops. Kept selectable via TMDIFF_CONV3D_IMPL=bandtiles for
+                # future shapes; auto stays on the fused single conv.
                 impl = "bandlanes"
-            elif kernel.shape[0] == 1:
+            elif kd == 1:
                 impl = "fold2d"
             else:
                 impl = "lax"
+        if impl == "bandtiles":
+            return _conv3d_bandtiles(x, kernel, max(1, 128 // cout))
         if impl == "bandlanes":
             return _conv3d_bandlanes(x, kernel)
         if impl == "fold2d":
