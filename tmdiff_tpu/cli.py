@@ -234,6 +234,9 @@ def main(argv=None):
         print_freq = train_opt.get("print_freq", 50)
         val_freq = train_opt.get("val_freq", 5000)
 
+        import time as _time
+
+        last_print = (_time.monotonic(), current_step)
         try:
             while current_step < max_iter and not stop["flag"]:
                 batch, sensor = next(mixer)
@@ -241,9 +244,14 @@ def main(argv=None):
                 state, metrics = trainer.train_step(state, batch, emb)
                 current_step += 1
                 if current_step % print_freq == 0:
+                    now = _time.monotonic()
+                    dt, dsteps = now - last_print[0], current_step - last_print[1]
+                    last_print = (now, current_step)
+                    rate = (dsteps * len(batch["Res"]) / dt) if dt > 0 else 0.0
                     logger.info(
                         f"step {current_step} "
                         + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
+                        + f" img/s: {rate:.1f}"
                     )
                 if current_step % val_freq == 0:
                     run_validation(state)
