@@ -13,6 +13,41 @@ from tmdiff_tpu.eval import metrics as M
 
 
 class TestData:
+    def test_lazy_dataset_matches_in_ram(self, tmp_path):
+        """LazyPanDataset must produce byte-identical batches to PanDataset
+        (incl. duplicate/unsorted index handling, which h5py can't gather
+        directly), and duck-type into BatchIterator."""
+        from tmdiff_tpu.data import BatchIterator, LazyPanDataset
+        from tmdiff_tpu.data.synthetic import write_h5
+
+        path = write_h5(str(tmp_path / "train_wv3.h5"), n=6, bands=4, size=16,
+                        seed=3, img_scale=2047.0)
+        ram = PanDataset(path)
+        lazy = LazyPanDataset(path)
+        assert len(lazy) == len(ram) and lazy.bands == ram.bands
+        assert lazy.has_reference == ram.has_reference
+        idx = np.array([4, 1, 1, 5])  # unsorted + duplicate
+        a, b = ram.batch(idx), lazy.batch(idx)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+        it = BatchIterator(lazy, batch_size=2, seed=0)
+        batch = next(it)
+        assert batch["Res"].shape == (2, 4, 16, 16)
+        # FR file (no gt): has_reference False, gt falls back to lms
+        import h5py
+
+        fr = str(tmp_path / "fr.h5")
+        with h5py.File(path, "r") as src, h5py.File(fr, "w") as dst:
+            for k in ("ms", "lms", "pan"):
+                dst.create_dataset(k, data=src[k])
+        lazy_fr = LazyPanDataset(fr)
+        assert not lazy_fr.has_reference
+        np.testing.assert_array_equal(
+            lazy_fr.batch(np.array([0]))["HR"],
+            lazy_fr.batch(np.array([0]))["MS"],
+        )
+        lazy.close(); lazy_fr.close()
+
     def test_dataset_semantics(self):
         ds = PanDataset(make_arrays(n=6, bands=4, size=16))
         assert len(ds) == 6

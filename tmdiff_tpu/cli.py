@@ -149,6 +149,22 @@ def main(argv=None):
     model = WavBEST(channels=channels)
     schedule = NoiseSchedule.create(sched_opt["schedule"], sched_opt["n_timestep"])
 
+    # SPMD mesh: every visible chip by default (data parallelism), shaped by
+    # an optional `parallel: {"data": N, "space": M}` config block. The same
+    # mesh drives training AND validation sampling; single-chip runs skip it.
+    import jax
+
+    mesh = None
+    par_opt = opt["parallel"] or {}
+    if jax.device_count() > 1 or par_opt.get("data") or par_opt.get("space"):
+        from tmdiff_tpu.parallel import make_mesh
+
+        space = int(par_opt.get("space") or 1)
+        data = int(par_opt.get("data") or (jax.device_count() // space))
+        mesh = make_mesh(data=data, space=space)
+        logger.info(f"SPMD mesh: data={data} space={space} "
+                    f"({jax.device_count()} devices)")
+
     train_opt = opt["train"] or {}
     trainer = Trainer(
         model=model,
@@ -156,6 +172,7 @@ def main(argv=None):
         lr=(train_opt.get("optimizer") or {}).get("lr", 1e-4),
         max_iter=train_opt.get("max_iter", 300_000),
         loss_type=(opt["model"]["diffusion"] or {}).get("loss_type", "l1"),
+        mesh=mesh,
     )
 
     # Init / resume state.
@@ -170,6 +187,7 @@ def main(argv=None):
     sharp = Pansharpener(
         model, params=None,
         schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
+        mesh=mesh,
     )
     prompt_emb = np.asarray(sharp.prompt_embedding(first_sensor))
     state = trainer.init_state(first_batch, prompt_emb)

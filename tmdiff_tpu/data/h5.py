@@ -101,6 +101,68 @@ class PanDataset:
         }
 
 
+class LazyPanDataset:
+    """Streaming variant of :class:`PanDataset` for sets larger than RAM:
+    arrays stay in the h5 file (HDF5's chunk cache does the buffering) and
+    each batch gathers + normalises only its rows. Same sample semantics and
+    duck-typed API (len / bands / batch / __getitem__ / has_reference), so
+    `BatchIterator`, the mixer, and the eval harness take it unchanged.
+
+    The reference (and `PanDataset`) load everything up front
+    (`LRHR_dataset.py:91-122`) — fine for PanCollection, not for production
+    archives.
+    """
+
+    def __init__(self, path: str, img_scale: Optional[float] = None,
+                 data_len: int = -1):
+        import h5py
+
+        self._file = h5py.File(path, "r")
+        self.img_scale = float(
+            infer_img_scale(path) if img_scale is None else img_scale
+        )
+        self.has_reference = "gt" in self._file
+        self._gt_key = "gt" if self.has_reference else "lms"
+        n = self._file["ms"].shape[0]
+        self.length = n if data_len <= 0 else min(data_len, n)
+
+    def __len__(self):
+        return self.length
+
+    @property
+    def bands(self) -> int:
+        return self._file[self._gt_key].shape[1]
+
+    def _read(self, key: str, uniq: np.ndarray) -> np.ndarray:
+        from tmdiff_tpu.runtime import counts_to_float
+
+        return counts_to_float(
+            np.asarray(self._file[key][uniq]), self.img_scale
+        )
+
+    def batch(self, idx: np.ndarray) -> dict:
+        idx = np.asarray(idx)
+        # h5py fancy indexing demands strictly-increasing unique indices;
+        # gather the unique rows once and fan back out
+        uniq, inv = np.unique(idx, return_inverse=True)
+        hr = self._read(self._gt_key, uniq)[inv]
+        lms = self._read("lms", uniq)[inv]
+        return {
+            "LR": self._read("ms", uniq)[inv],
+            "PAN": self._read("pan", uniq)[inv],
+            "MS": lms,
+            "HR": hr,
+            "Res": hr - lms,
+        }
+
+    def __getitem__(self, index):
+        b = self.batch(np.array([index]))
+        return {k: v[0] for k, v in b.items()}
+
+    def close(self):
+        self._file.close()
+
+
 def merge_patches_4x4(imgs: np.ndarray) -> np.ndarray:
     """(16, C, h, w) → (C, 4h, 4w), row-major tiling."""
     b, c, h, w = imgs.shape

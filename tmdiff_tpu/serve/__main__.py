@@ -32,6 +32,9 @@ def main(argv=None):
                         "v5e, BASELINE.md sampling study)")
     p.add_argument("--warmup", default=None,
                    help="bands,H,W to precompile before binding the port")
+    p.add_argument("--mesh-space", type=int, default=1,
+                   help="shard image height over this many devices; the rest "
+                        "go to the 'data' axis (default: all devices on data)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -63,9 +66,18 @@ def main(argv=None):
         "MS": np.zeros((1, bands, 64, 64), np.float32),
         "Res": np.zeros((1, bands, 64, 64), np.float32),
     }
+    import jax
+
+    mesh = None
+    if jax.device_count() > 1:
+        from tmdiff_tpu.parallel import make_mesh
+
+        mesh = make_mesh(space=args.mesh_space)
+        print(f"serving over SPMD mesh {dict(mesh.shape)}", flush=True)
     sharp = Pansharpener(
         model, params=None,
         schedule_name=sched_opt["schedule"], n_timestep=sched_opt["n_timestep"],
+        mesh=mesh,
     )
     state = trainer.init_state(tmpl, np.asarray(sharp.prompt_embedding("QB")))
     if args.ckpt.endswith(".pth") or os.path.exists(args.ckpt + "_gen.pth"):
