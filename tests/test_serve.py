@@ -148,6 +148,44 @@ def test_engine_error_propagates_without_killing_worker(sharp):
         engine.shutdown()
 
 
+def test_engine_backpressure():
+    """Bounded queue: submits beyond max_queue raise EngineOverloaded (the
+    HTTP layer maps it to 503) while in-flight work completes normally."""
+    import threading
+
+    from tmdiff_tpu.serve import InferenceEngine
+    from tmdiff_tpu.serve.engine import EngineOverloaded
+
+    class SlowSharp:  # duck-typed sampler with a controllable stall
+        def __init__(self):
+            self.release = threading.Event()
+
+        def sample(self, batch, sensor, method, steps, seed):
+            self.release.wait(30)
+            return np.zeros_like(batch["MS"])
+
+    slow = SlowSharp()
+    engine = InferenceEngine(slow, method="regression", max_batch=1,
+                             max_delay_ms=1.0, max_queue=2)
+    try:
+        pan, ms = _image(0)
+        first = engine.submit(pan, ms)  # worker picks this up and stalls
+        import time
+
+        time.sleep(0.3)  # let the worker dequeue it
+        backlog = [engine.submit(pan, ms) for _ in range(2)]
+        with pytest.raises(EngineOverloaded):
+            engine.submit(pan, ms)
+        assert engine.stats["rejected"] == 1
+        slow.release.set()
+        assert first.result(timeout=60).shape == ms.shape
+        for f in backlog:
+            f.result(timeout=60)
+    finally:
+        slow.release.set()
+        engine.shutdown()
+
+
 def test_http_server_round_trip(sharp):
     from tmdiff_tpu.serve import InferenceEngine, make_server, \
         serve_forever_in_thread

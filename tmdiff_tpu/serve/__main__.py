@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-delay-ms", type=float, default=15.0)
+    p.add_argument("--max-queue", type=int, default=64,
+                   help="pending-request bound; excess requests get 503")
     p.add_argument("--use-ema", action="store_true",
                    help="serve EMA weights instead of online weights")
     p.add_argument("--bf16", action="store_true",
@@ -90,6 +92,7 @@ def main(argv=None):
     engine = InferenceEngine(
         sharp, method=args.sampler, steps=args.steps,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        max_queue=args.max_queue,
     )
     if args.warmup:
         shape = tuple(int(x) for x in args.warmup.split(","))

@@ -45,6 +45,12 @@ class _Request:
     enqueued_at: float
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the pending queue exceeds `max_queue` —
+    backpressure for the HTTP layer to surface as 503 instead of letting
+    latency grow without bound."""
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -67,6 +73,7 @@ class InferenceEngine:
     max_batch: int = 8
     max_delay_ms: float = 15.0
     buckets: Optional[Sequence[int]] = None
+    max_queue: Optional[int] = None  # pending-request bound; None = unbounded
 
     def __post_init__(self):
         if self.buckets is None:
@@ -99,6 +106,11 @@ class InferenceEngine:
             raise ValueError(
                 f"submit() takes one image per request: pan (1,H,W), "
                 f"ms (bands,H,W); got {pan.shape} / {ms.shape}"
+            )
+        if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
+            self.stats["rejected"] = self.stats.get("rejected", 0) + 1
+            raise EngineOverloaded(
+                f"pending queue at limit ({self.max_queue}); retry later"
             )
         fut: Future = Future()
         self._queue.put(_Request(pan, ms, sensor, fut, time.monotonic()))

@@ -23,7 +23,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from tmdiff_tpu.serve.engine import InferenceEngine
+from tmdiff_tpu.serve.engine import EngineOverloaded, InferenceEngine
 
 
 def _npz_bytes(**arrays) -> bytes:
@@ -72,6 +72,15 @@ class _Handler(BaseHTTPRequestHandler):
             pan, ms = data["pan"], data["ms"]
             sensor = str(data["sensor"]) if "sensor" in data else "QB"
             sr = self.engine.submit(pan, ms, sensor=sensor).result()
+        except EngineOverloaded as err:
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": str(err)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         except Exception as err:
             self._reply_json(400, {"error": str(err)})
             return
