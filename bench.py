@@ -74,7 +74,9 @@ def main():
     result = {
         "metric": "UNet denoise steps/sec/chip @256x256 (8-band, bf16, "
                   f"batch {batch}, fori-chained x{chain_len}, on-device init; "
-                  f"compile {compile_s:.0f}s)",
+                  "denoise-only path: cond encoder is loop-invariant and "
+                  "LICM-hoisted, matching the samplers' cached-encoder "
+                  f"regime — see BASELINE.md FLOP accounting; compile {compile_s:.0f}s)",
         "value": round(steps_per_sec, 2),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / 2000.0, 4),

@@ -45,6 +45,20 @@ def test_require_real_clip_guard(monkeypatch):
         clip_text.require_real_clip("test")  # waived
 
 
+def test_harness_parity_mode_guarded(monkeypatch):
+    """r3 guard extension: a validate() run that claims reference parity must
+    refuse to produce numbers with the placeholder table (VERDICT r2 weak #5
+    — previously only checkpoint import was guarded)."""
+    from tmdiff_tpu.eval.harness import validate
+
+    monkeypatch.delenv("TMDIFF_ALLOW_FAKE_CLIP", raising=False)
+    if clip_text.is_real_clip():
+        pytest.skip("real table shipped; guard inert by design")
+    with pytest.raises(RuntimeError, match="real CLIP"):
+        # guard fires before any argument is touched
+        validate(None, None, "QB", reference_parity=True)
+
+
 def test_wv2_reuses_gf2_wording():
     """Reference quirk preserved: the WV2 prompt reuses the GaoFen-2 paragraph
     with WV2 numbers (`Hyper_unet_general.py:574-585`)."""

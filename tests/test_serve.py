@@ -136,8 +136,13 @@ def test_engine_error_propagates_without_killing_worker(sharp):
     try:
         with pytest.raises(ValueError, match="one image per request"):
             engine.submit(np.zeros((2, 1, 16, 16)), np.zeros((4, 16, 16)))
-        # 768-band garbage breaks inside the sampler → future gets the error
-        bad = engine.submit(np.zeros((1, 16, 16)), np.zeros((3, 15, 15)))
+        # pan/ms spatial mismatch is rejected at submit() — it must never
+        # reach _execute where np.stack would fail the whole co-batched group
+        with pytest.raises(ValueError, match="spatial dims"):
+            engine.submit(np.zeros((1, 16, 16)), np.zeros((3, 15, 15)))
+        # shape that passes validation but breaks inside the sampler
+        # (15 not divisible by 8) → future gets the error
+        bad = engine.submit(np.zeros((1, 15, 15)), np.zeros((3, 15, 15)))
         with pytest.raises(Exception):
             bad.result(timeout=120)
         # worker is still alive and serves the next request

@@ -104,6 +104,24 @@ def test_conv3d_bandtiles_correct_and_spmd_exact():
     np.testing.assert_allclose(np.asarray(fn(xs, ks)), ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("d,cout,tile_d", [
+    (8, 8, 16),   # Cout≤8 → tile_d=128//8=16 > d: must clamp, not crash
+    (5, 64, 2),   # odd D with tile_d=2: short final tile
+    (3, 96, 1),
+])
+def test_conv3d_bandtiles_irregular_shapes(d, cout, tile_d):
+    """ADVICE r2: tile_d > d or d % tile_d != 0 crashed the slab reshape at
+    trace time. The lowering must clamp and zero-pad the tail instead."""
+    import tmdiff_tpu.ops.modconv as mc
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, d, 8, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, cout)).astype(np.float32) * 0.05)
+    ref = np.asarray(jax.jit(mc._conv3d_fold2d)(x, k))
+    out = np.asarray(jax.jit(lambda x, k: mc._conv3d_bandtiles(x, k, tile_d))(x, k))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 @pytest.mark.parametrize("impl,h", [
     ("auto", 8), ("auto", 4), ("auto", 2),  # mixed rule must be exact everywhere
     ("lax", 2),                              # native: exact at the corner

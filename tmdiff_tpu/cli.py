@@ -118,16 +118,38 @@ def main(argv=None):
     # Graceful preemption: install stop handlers BEFORE the (minutes-long on
     # a cold cache) model build, so a SIGTERM at any point after startup
     # requests a clean checkpoint-and-exit instead of killing the process.
+    # Signals are only touchable from the main thread (signal.signal raises
+    # ValueError elsewhere — embedded/test harnesses run main() in workers).
+    import threading
+
     stop = {"flag": False}
     prev_handlers = {}
-    if args.phase == "train":
+    if (args.phase == "train"
+            and threading.current_thread() is threading.main_thread()):
         import signal
 
         def _request_stop(signum, frame):
+            if stop["flag"] and signum == signal.SIGINT:
+                # second Ctrl-C: abort immediately — the flag is only polled
+                # between train steps, which during a minutes-long compile
+                # would otherwise swallow the interrupt entirely
+                raise KeyboardInterrupt
             stop["flag"] = True
 
         for s in (signal.SIGTERM, signal.SIGINT):
             prev_handlers[s] = signal.signal(s, _request_stop)
+    try:
+        _run(args, opt, stop)
+    finally:
+        # restore even when _run raises before reaching the train loop
+        if prev_handlers:
+            import signal
+
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
+
+
+def _run(args, opt, stop):
     logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
     val_logger = setup_logger("val", opt["path"]["log"], "val")
     logger.info(opt.get("info", opt["name"]))
@@ -255,42 +277,36 @@ def main(argv=None):
         import time as _time
 
         last_print = (_time.monotonic(), current_step)
-        try:
-            while current_step < max_iter and not stop["flag"]:
-                batch, sensor = next(mixer)
-                emb = np.asarray(sharp.prompt_embedding(sensor))
-                state, metrics = trainer.train_step(state, batch, emb)
-                current_step += 1
-                if current_step % print_freq == 0:
-                    now = _time.monotonic()
-                    dt, dsteps = now - last_print[0], current_step - last_print[1]
-                    last_print = (now, current_step)
-                    rate = (dsteps * len(batch["Res"]) / dt) if dt > 0 else 0.0
-                    logger.info(
-                        f"step {current_step} "
-                        + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
-                        + f" img/s: {rate:.1f}"
-                    )
-                if current_step % val_freq == 0:
-                    run_validation(state)
-                    ckpt_lib.save_checkpoint(
-                        opt["path"]["checkpoint"], state,
-                        keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
-                    )
-            if stop["flag"]:
-                path = ckpt_lib.save_checkpoint(
-                    opt["path"]["checkpoint"], state,
-                    keep=train_opt.get("ckpt_keep"),
-                )
+        while current_step < max_iter and not stop["flag"]:
+            batch, sensor = next(mixer)
+            emb = np.asarray(sharp.prompt_embedding(sensor))
+            state, metrics = trainer.train_step(state, batch, emb)
+            current_step += 1
+            if current_step % print_freq == 0:
+                now = _time.monotonic()
+                dt, dsteps = now - last_print[0], current_step - last_print[1]
+                last_print = (now, current_step)
+                rate = (dsteps * len(batch["Res"]) / dt) if dt > 0 else 0.0
                 logger.info(
-                    f"Preemption signal: checkpointed step {current_step} "
-                    f"to {path}; resume with path.resume='auto'"
+                    f"step {current_step} "
+                    + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
+                    + f" img/s: {rate:.1f}"
                 )
-        finally:
-            import signal
-
-            for s, h in prev_handlers.items():
-                signal.signal(s, h)
+            if current_step % val_freq == 0:
+                run_validation(state)
+                ckpt_lib.save_checkpoint(
+                    opt["path"]["checkpoint"], state,
+                    keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
+                )
+        if stop["flag"]:
+            path = ckpt_lib.save_checkpoint(
+                opt["path"]["checkpoint"], state,
+                keep=train_opt.get("ckpt_keep"),
+            )
+            logger.info(
+                f"Preemption signal: checkpointed step {current_step} "
+                f"to {path}; resume with path.resume='auto'"
+            )
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)

@@ -40,10 +40,29 @@ def validate(
     seed: int = 0,
     params=None,
     log_file: Optional[str] = None,
+    reference_parity: bool = False,
+    device_metrics: bool = True,
 ) -> dict:
     """`log_file` appends one JSON line of metrics per image — the working
     replacement for the reference's parsed-but-dead `-log_eval` wandb hook
-    (`general_…finetune.py:64`, `core/logger.py:85-86`)."""
+    (`general_…finetune.py:64`, `core/logger.py:85-86`).
+
+    `reference_parity=True` declares the run's numbers will be compared
+    against the PyTorch reference (the BASELINE "SAM/ERGAS within 1%"
+    criterion). That comparison is meaningless while the sensor-prompt table
+    is the placeholder (the model would be conditioned on noise), so the
+    flag routes through `require_real_clip` and fails loudly.
+
+    `device_metrics=True` (default) computes the standard SSIM+SAM pair
+    on-device in ONE jitted call per batch (`eval/metrics_jnp.py` — the
+    reference's torch-twin regime, `core/metrics.py:388-503`) instead of a
+    per-image numpy loop. SSIM deviates from the numpy suite by ≤1e-3
+    (window boundary convention); SAM matches to 1e-5. The numpy path
+    remains for `full_suite`/no-reference sets and `device_metrics=False`."""
+    if reference_parity:
+        from tmdiff_tpu.models.clip_text import require_real_clip
+
+        require_real_clip("eval.harness.validate(reference_parity=True)")
     n = len(dataset) if max_images <= 0 else min(max_images, len(dataset))
     if result_dir:
         os.makedirs(result_dir, exist_ok=True)
@@ -51,11 +70,27 @@ def validate(
     sums: dict[str, float] = {}
     t0 = time.time()
     idx_out = 0
+    fast = device_metrics and dataset.has_reference and not full_suite
+    if fast:
+        import jax
+        import jax.numpy as jnp
+
+        from tmdiff_tpu.eval import metrics_jnp as MJ
+
+        @jax.jit
+        def _batch_metrics(pred, gt):
+            return (MJ.ssim_per_image(pred, gt, 1.0),
+                    MJ.sam_per_image(gt, pred))
+
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))
         batch = dataset.batch(idx)
         preds = sharpener.sample(batch, sensor=sensor, method=method,
                                  seed=seed + start, params=params)
+        if fast:
+            ssim_v, sam_v = _batch_metrics(
+                jnp.asarray(preds), jnp.asarray(batch["HR"]))
+            ssim_v, sam_v = np.asarray(ssim_v), np.asarray(sam_v)
         for b in range(preds.shape[0]):
             pred_hwc = np.transpose(preds[b], (1, 2, 0))
             gt_hwc = np.transpose(batch["HR"][b], (1, 2, 0))
@@ -76,6 +111,8 @@ def validate(
                 )
             elif full_suite:
                 vals = M.evaluate_rr(gt_hwc, pred_hwc, 1.0)
+            elif fast:
+                vals = {"ssim": float(ssim_v[b]), "sam": float(sam_v[b])}
             else:
                 vals = {
                     "ssim": M.ssim(pred_hwc, gt_hwc, 1.0),

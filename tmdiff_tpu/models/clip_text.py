@@ -19,6 +19,23 @@ dependency in the hot path. The table ships in `prompt_embeddings.npz`:
 
 An optional live encoder (`encode_prompts_live`) runs HF transformers on the
 host when a checkpoint path is available.
+
+Export attempts (recorded per the parity protocol):
+
+  * 2026-08-17 (r3): no HF cache on this host (`~/.cache/huggingface`
+    absent, no `*clip*` checkpoint anywhere on disk) and zero network
+    egress. `CLIPTextModel.from_pretrained('openai/clip-vit-large-patch14')`
+    fails with::
+
+        OSError: We couldn't connect to 'https://huggingface.co' to load
+        the files, and couldn't find them in the cached files.
+
+    The real (5, 768) table therefore CANNOT be produced in this
+    environment. The placeholder remains; every fidelity-claiming path is
+    gated by `require_real_clip` (checkpoint import, eval-harness parity
+    mode), and README/PARITY carry no SAM/ERGAS-parity numbers. To close
+    the gap on a networked machine:
+    `python tools/export_clip_embeddings.py openai/clip-vit-large-patch14`.
 """
 from __future__ import annotations
 

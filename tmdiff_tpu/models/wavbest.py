@@ -21,8 +21,14 @@ Behavioral contract from `/root/reference/GeneralModel/Hyper_unet_general.py:523
 TPU-first split: because the conditional branch takes no time embedding, its
 features are **constant across diffusion steps** — the reference recomputes
 them every NFE (`:611-618` inside each denoiser call). `encode_condition`
-computes them once per image; `denoise` consumes the cached features, nearly
-halving per-step FLOPs for every sampler. `__call__` remains the fused
+computes them once per image; `denoise` consumes the cached features. XLA
+cost analysis puts the cond encoder at 36.5% of the fused forward's
+algorithmic FLOPs (0.92 of 2.52 TFLOP/image @256², flagship — see
+BASELINE.md "FLOP accounting"), so caching cuts per-NFE cost by ~⅓ when the
+sampler issues separate encode/denoise dispatches. Inside one fully-fused
+scan XLA's LICM already hoists the loop-invariant encoder, so the measured
+in-jit gain is small (~5%); the split's value there is the honest per-NFE
+cost accounting and the CFG double-encode path. `__call__` remains the fused
 single-shot forward (training path; exact reference semantics).
 
 Layout note: (B, bands, H, W) maps to (B, D, H, W, C=1) with no transpose —

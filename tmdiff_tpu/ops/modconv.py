@@ -135,9 +135,13 @@ def _conv3d_bandtiles(x: jax.Array, kernel: jax.Array, tile_d: int):
             x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
             dimension_numbers=DIMENSION_NUMBERS_3D,
         )
+    tile_d = min(tile_d, d)  # Cout≤8 would give tile_d=16 > d=8
     pad = kd // 2
     span = tile_d + 2 * pad
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    # zero-pad the depth tail so a short final tile (d % tile_d != 0) still
+    # slices a full `span` slab; the surplus output bands are dropped below
+    tail = (-d) % tile_d
+    xp = jnp.pad(x, ((0, 0), (pad, pad + tail), (0, 0), (0, 0), (0, 0)))
     din = np.arange(span)[:, None]
     dout = np.arange(tile_d)[None, :]
     idx = din - (dout + pad) + pad  # tap index for (in-slab, out-in-tile)
@@ -154,7 +158,8 @@ def _conv3d_bandtiles(x: jax.Array, kernel: jax.Array, tile_d: int):
             dimension_numbers=DIMENSION_NUMBERS_2D,
         )
         outs.append(y.reshape(b, h, w, tile_d, cout))
-    return jnp.concatenate(outs, axis=3).transpose(0, 3, 1, 2, 4)
+    out = jnp.concatenate(outs, axis=3)[:, :, :, :d]
+    return out.transpose(0, 3, 1, 2, 4)
 
 
 def _conv3d_fold2d(x: jax.Array, kernel: jax.Array):

@@ -91,6 +91,7 @@ class InferenceEngine:
             "padded_slots": 0,
             "batch_size_hist": {},
             "latency_ms_sum": 0.0,
+            "rejected": 0,  # present from t=0 so /v1/stats schema is stable
         }
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -107,8 +108,15 @@ class InferenceEngine:
                 f"submit() takes one image per request: pan (1,H,W), "
                 f"ms (bands,H,W); got {pan.shape} / {ms.shape}"
             )
+        if pan.shape[-2:] != ms.shape[-2:]:
+            # reject early: a mismatched request must not reach _execute,
+            # where np.stack would fail the whole co-batched group
+            raise ValueError(
+                f"pan spatial dims {pan.shape[-2:]} must match ms "
+                f"{ms.shape[-2:]} (ms is the upsampled LMS)"
+            )
         if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
-            self.stats["rejected"] = self.stats.get("rejected", 0) + 1
+            self.stats["rejected"] += 1
             raise EngineOverloaded(
                 f"pending queue at limit ({self.max_queue}); retry later"
             )
@@ -162,7 +170,9 @@ class InferenceEngine:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._execute(group, leftovers)
+                    # shutting down: don't re-queue leftovers into the dead
+                    # queue — run the collected group, fail the rest directly
+                    self._execute(group, [])
                     for r in leftovers:
                         if not r.future.done():
                             r.future.set_exception(

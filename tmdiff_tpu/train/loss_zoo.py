@@ -1,6 +1,9 @@
-"""Named reference loss zoo — 1:1 equivalents of the experimental losses in
-`/root/reference/core/mylib.py:310-1540` (loss_func1…, FLoss, SAMLoss),
-golden-pinned against the torch originals (tests/golden/loss_zoo.npz).
+"""Named reference loss zoo — 1:1 equivalents of ALL experimental losses in
+`/root/reference/core/mylib.py:310-1540` (loss_func1…32 incl. the 29-family
+variants, FLoss…FLoss5, SAMLoss, the MWCNN dwt), golden-pinned against the
+torch originals (tests/golden/loss_zoo.npz). The only exclusions are the
+four losses commented out upstream (loss_func11/14/19/24 — dead code that
+cannot run there either); see the audit table in PARITY.md.
 
 None of these are on the reference's active path (only l1/l2/smooth_l1 are,
 `diffusion_general.py:76-84`); they ship for capability parity. The
@@ -204,15 +207,315 @@ def floss(f1, f2, w1, b1, w2, b2, lambd: float = 1.0):
     return on_diag + lambd * off_diag
 
 
+# -- remaining named combinations (audit to closure, r3) ----------------------
+# Dead upstream (commented out in mylib.py, cannot run): loss_func11 (:755),
+# loss_func14 (:797, needs an absent FFL import), loss_func19 (:970),
+# loss_func24 (:1170). Everything else below is live-runnable upstream and
+# golden-pinned (tests/golden/loss_zoo.npz).
+
+
+def loss_func4(ref, pan, ms, out, qkv, margin: float = 12.0):
+    """mylib:410-449: loss_func2's three terms + one similarity triplet."""
+    return loss_func2(ref, pan, ms, out) + similarity_triplet_loss(
+        *qkv, margin=margin
+    )
+
+
+def loss_func5(ref, out, qkv, margin: float = 12.0):
+    """mylib:467-491: L1(out, ref) + similarity triplet."""
+    return _l1(out, ref) + similarity_triplet_loss(*qkv, margin=margin)
+
+
+def loss_func7(ref, out, qkv, qkv_h2, qkv_h1, margin: float = 12.0):
+    """mylib:572-603: L1 + THREE triplet terms (full/h2/h1) + Gram style."""
+    return (
+        _l1(out, ref)
+        + similarity_triplet_loss(*qkv, margin=margin)
+        + similarity_triplet_loss(*qkv_h2, margin=margin)
+        + similarity_triplet_loss(*qkv_h1, margin=margin)
+        + _l1(gram_matrix(out), gram_matrix(ref))
+    )
+
+
+def l3_loss(a, b):
+    """mylib:745-752 (`loss_func10`): mean(|a−b| · (a−b)²) — an odd-power
+    penalty between L2 and L4 the author calls loss_func10."""
+    d = a - b
+    return jnp.mean(jnp.abs(d) * jnp.square(d))
+
+
+loss_func10 = l3_loss
+
+
+def loss_func12(out_l, out_h, ms_l, pan_h):
+    """mylib:772-781: l3 penalty on the low band vs MS and high band vs PAN
+    (a frequency-separated reconstruction objective)."""
+    return l3_loss(pan_h, out_h) + l3_loss(ms_l, out_l)
+
+
+def loss_func13(out_l, out_h, ms_l, pan_h):
+    """mylib:784-794: L1 version of loss_func12."""
+    return _l1(pan_h, out_h) + _l1(ms_l, out_l)
+
+
+def loss_func15(ref, out, pc_2, mc_2, fl_params, lambd: float = 0.005):
+    """mylib:853-867: L1(ref, out) + FLoss on the level-2 low latents.
+    `fl_params` = (w1, b1, w2, b2) of the FLoss projections."""
+    return _l1(ref, out) + floss(pc_2, mc_2, *fl_params, lambd=lambd)
+
+
+def loss_func16(ref, out, pc_2, mc_2, fl_params, lambd: float = 0.005):
+    """mylib:871-885: weighted variant, FLoss scaled by /4096."""
+    return 0.7 * _l1(ref, out) + 0.3 * floss(
+        pc_2, mc_2, *fl_params, lambd=lambd
+    ) / 4096.0
+
+
+def loss_func17(ref, out, pgc_2, mgc_2, pgc_1, mgc_1, fl_h2_params,
+                fl_h1_params, lambd: float = 0.005):
+    """mylib:889-907: L1 + FLoss on BOTH high-frequency latent levels."""
+    return (
+        _l1(ref, out)
+        + floss(pgc_1, mgc_1, *fl_h1_params, lambd=lambd) / 4096.0
+        + floss(pgc_2, mgc_2, *fl_h2_params, lambd=lambd) / 4096.0
+    )
+
+
+def loss_func18(ref, out, pc_2, mc_2, pgc_2, mgc_2, pgc_1, mgc_1,
+                fl_l_params, fl_h2_params, fl_h1_params, lambd: float = 0.005):
+    """mylib:911-931: L1 + FLoss on the low level AND both high levels."""
+    return (
+        _l1(ref, out)
+        + floss(pc_2, mc_2, *fl_l_params, lambd=lambd) / 4096.0
+        + floss(pgc_1, mgc_1, *fl_h1_params, lambd=lambd) / 4096.0
+        + floss(pgc_2, mgc_2, *fl_h2_params, lambd=lambd) / 4096.0
+    )
+
+
+def floss2(f1, f2, w1, b1, w2, b2, lambd: float = 1.0):
+    """`FLoss2` (mylib:935-967): like floss but the cross-correlation is
+    across the BATCH axis (c = bn(p1) @ bn(p2).T, a B×B matrix — "data and
+    data similar") and the diagonal/off-diagonal terms are MEANS not sums."""
+    f1 = f1.reshape(f1.shape[0], -1)
+    f2 = f2.reshape(f2.shape[0], -1)
+    p1 = _bn(f1 @ w1.T + b1)
+    p2 = _bn(f2 @ w2.T + b2)
+    c = _bn(p1) @ _bn(p2).T
+    on_diag = jnp.mean((jnp.diagonal(c) - 1.0) ** 2)
+    off_diag = jnp.mean(_off_diagonal(c) ** 2)
+    return on_diag + lambd * off_diag
+
+
+def floss3(f1, f2, p1_params, p2_params, lambd: float = 1.0,
+           negative_slope: float = 0.2):
+    """`FLoss3` (mylib:1129-1167): FLoss2 with 2-layer MLP projections
+    (Linear → BatchNorm1d(no affine) → LeakyReLU(0.2) → Linear).
+    `pX_params` = (wa, ba, wb, bb)."""
+
+    def mlp(f, wa, ba, wb, bb):
+        h = _bn(f @ wa.T + ba)
+        h = jnp.where(h >= 0, h, negative_slope * h)
+        return h @ wb.T + bb
+
+    f1 = f1.reshape(f1.shape[0], -1)
+    f2 = f2.reshape(f2.shape[0], -1)
+    q1 = _bn(mlp(f1, *p1_params))
+    q2 = _bn(mlp(f2, *p2_params))
+    c = _bn(q1) @ _bn(q2).T
+    on_diag = jnp.mean((jnp.diagonal(c) - 1.0) ** 2)
+    off_diag = jnp.mean(_off_diagonal(c) ** 2)
+    return on_diag + lambd * off_diag
+
+
+def floss4(v1, v2, lambd: float = 0.005):
+    """`FLoss4` (mylib:1191-1200): parameter-free cross-correlation on
+    already-projected latents, batch axis (c = v1 @ v2.T)."""
+    c = v1 @ v2.T
+    return jnp.mean((jnp.diagonal(c) - 1.0) ** 2) + lambd * jnp.mean(
+        _off_diagonal(c) ** 2
+    )
+
+
+def floss5(v1, v2, lambd: float = 0.005):
+    """`FLoss5` (mylib:1204-1211): feature-axis variant (c = v1.T @ v2)."""
+    c = v1.T @ v2
+    return jnp.mean((jnp.diagonal(c) - 1.0) ** 2) + lambd * jnp.mean(
+        _off_diagonal(c) ** 2
+    )
+
+
+def loss_func20(ref, out, ms_2, out_2):
+    """mylib:990-1003: L1 at full res + L1 at the level-2 pyramid."""
+    return _l1(ref, out) + _l1(ms_2, out_2)
+
+
+def loss_func21(ref, out, ms_2, out_2, ms_1, out_1):
+    """mylib:1006-1020: loss_func20 + the level-1 pyramid term."""
+    return _l1(ref, out) + _l1(ms_2, out_2) + _l1(ms_1, out_1)
+
+
+def loss_func23(ref, out, ms_2, out_2):
+    """mylib:1099-1125: loss_func22's wavelet terms (0.1·SAM(LL) +
+    0.3·L1(high)) + full-res L1 + 0.5·pyramid L1."""
+    r = dwt_mwcnn(ref)
+    o = dwt_mwcnn(out)
+    rh = jnp.concatenate(r[1:], axis=-1)
+    oh = jnp.concatenate(o[1:], axis=-1)
+    return (
+        _l1(ref, out)
+        + 0.1 * sam_loss(r[0], o[0])
+        + 0.3 * _l1(rh, oh)
+        + 0.5 * _l1(ms_2, out_2)
+    )
+
+
+def loss_func25(ref, out, pan_, out_pan, ms_, out_ms):
+    """mylib:1214-1230: L1 + 1e-4·FLoss4 on both modality latent pairs."""
+    return (
+        _l1(out, ref)
+        + 1e-4 * floss4(ms_, out_ms)
+        + 1e-4 * floss4(pan_, out_pan)
+    )
+
+
+def loss_func26(ref, out, pan_, out_pan, ms_, out_ms):
+    """mylib:1233-1255: L1 + 0.5·L1(ms latents) + 0.1·L1(pan latents).
+    (The reference's internal variable names are swapped; weights follow the
+    arithmetic, not the names.)"""
+    return _l1(out, ref) + 0.5 * _l1(ms_, out_ms) + 0.1 * _l1(pan_, out_pan)
+
+
+def loss_func27(ref, out, pan_, out_pan, ms_, out_ms):
+    """mylib:1258-1280: as loss_func26 with both weights 0.1."""
+    return _l1(out, ref) + 0.1 * _l1(ms_, out_ms) + 0.1 * _l1(pan_, out_pan)
+
+
+def loss_func28(ref, out, panl_latent, msl_latent):
+    """mylib:1284-1295: 10·L1 + 0.1·FLoss4 on the low latents."""
+    return 10.0 * _l1(ref, out) + 0.1 * floss4(panl_latent, msl_latent)
+
+
+def loss_func29(ref, out, panl, msl, panl1, msl1):
+    """mylib:1299-1314: L1 + 20·(FLoss4(l) + FLoss4(ll))."""
+    return _l1(ref, out) + 20.0 * (floss4(panl1, msl1) + floss4(panl, msl))
+
+
+def loss_func29_h(ref, out, panh, msh, panlh, mslh):
+    """mylib:1318-1332: L1 + 50·(FLoss4(h) + FLoss4(lh))."""
+    return _l1(ref, out) + 50.0 * (floss4(panh, msh) + floss4(panlh, mslh))
+
+
+def loss_func29_h_3(ref, out, panh, msh, panlh, mslh, panllh, msllh):
+    """mylib:1335-1352: L1 + 20·(h + lh + llh) FLoss4 terms."""
+    return _l1(ref, out) + 20.0 * (
+        floss4(panh, msh) + floss4(panlh, mslh) + floss4(panllh, msllh)
+    )
+
+
+def loss_func29_lh(ref, out, panl1, msl1, panl, msl, panh, msh, panlh, mslh):
+    """mylib:1356-1377: L1 + 20·(h + lh + l + ll) FLoss4 terms."""
+    return _l1(ref, out) + 20.0 * (
+        floss4(panh, msh) + floss4(panlh, mslh)
+        + floss4(panl1, msl1) + floss4(panl, msl)
+    )
+
+
+def loss_func29_c(ref, out, panl, msl, panl1, msl1):
+    """mylib:1382-1396: L1 + 0.1·FLoss4(l) + 1·FLoss4(ll)."""
+    return _l1(ref, out) + 0.1 * floss4(panl1, msl1) + floss4(panl, msl)
+
+
+def loss_func29_3layer(ref, out, panl, msl, panll, msll, panlll, mslll):
+    """mylib:1399-1414: L1 + 0.1·FLoss4(l) + FLoss4(ll) + FLoss4(lll)."""
+    return (
+        _l1(ref, out)
+        + 0.1 * floss4(panl, msl)
+        + floss4(panll, msll)
+        + floss4(panlll, mslll)
+    )
+
+
+def loss_func29_a(ref, out, panl, msl, panl1, msl1):
+    """mylib:1417-1431: plain-L1 ablation of loss_func29."""
+    return _l1(ref, out) + _l1(panl1, msl1) + _l1(panl, msl)
+
+
+def loss_func29_1(ref, out, panl, msl, panl1, msl1):
+    """mylib:1435-1448: loss_func29_c with the FLoss5 (feature-axis)
+    correlation."""
+    return _l1(ref, out) + 0.1 * floss5(panl1, msl1) + floss5(panl, msl)
+
+
+def loss_func30(ref, out, panl, msl, panl1, msl1):
+    """mylib:1452-1464: L1 + 0.1·FLoss4(h1) + 0.1·FLoss4(h2)."""
+    return _l1(ref, out) + 0.1 * floss4(panl1, msl1) + 0.1 * floss4(panl, msl)
+
+
+def loss_func31(ref, out, panll, msll, panl, msl, panh2, msh2, panh1, msh1):
+    """mylib:1468-1486: L1 + 0.1·FLoss4 on all four latent pairs."""
+    return _l1(ref, out) + 0.1 * (
+        floss4(panh1, msh1) + floss4(panh2, msh2)
+        + floss4(panl, msl) + floss4(panll, msll)
+    )
+
+
+def loss_func32(ref, out, panh, msh, panlh, mslh):
+    """mylib:1517-1548: L1 + L1 on both MWCNN-DWT bands + 20·(FLoss4(h) +
+    FLoss4(lh))."""
+    r = dwt_mwcnn(ref)
+    o = dwt_mwcnn(out)
+    rh = jnp.concatenate(r[1:], axis=-1)
+    oh = jnp.concatenate(o[1:], axis=-1)
+    return (
+        _l1(ref, out)
+        + _l1(rh, oh)
+        + _l1(r[0], o[0])
+        + 20.0 * (floss4(panh, msh) + floss4(panlh, mslh))
+    )
+
+
 LOSS_ZOO = {
     "loss_func1": loss_func1,
     "loss_func2": loss_func2,
     "loss_func3": loss_func3,
+    "loss_func4": loss_func4,
+    "loss_func5": loss_func5,
     "loss_func6": loss_func6,
+    "loss_func7": loss_func7,
     "loss_func8": loss_func8,
     "loss_func9": loss_func9,
+    "loss_func10": loss_func10,
+    "loss_func12": loss_func12,
+    "loss_func13": loss_func13,
+    "loss_func15": loss_func15,
+    "loss_func16": loss_func16,
+    "loss_func17": loss_func17,
+    "loss_func18": loss_func18,
+    "loss_func20": loss_func20,
+    "loss_func21": loss_func21,
     "loss_func22": loss_func22,
+    "loss_func23": loss_func23,
+    "loss_func25": loss_func25,
+    "loss_func26": loss_func26,
+    "loss_func27": loss_func27,
+    "loss_func28": loss_func28,
+    "loss_func29": loss_func29,
+    "loss_func29_h": loss_func29_h,
+    "loss_func29_h_3": loss_func29_h_3,
+    "loss_func29_lh": loss_func29_lh,
+    "loss_func29_c": loss_func29_c,
+    "loss_func29_3layer": loss_func29_3layer,
+    "loss_func29_a": loss_func29_a,
+    "loss_func29_1": loss_func29_1,
+    "loss_func30": loss_func30,
+    "loss_func31": loss_func31,
+    "loss_func32": loss_func32,
     "sam_loss": sam_loss,
     "floss": floss,
+    "floss2": floss2,
+    "floss3": floss3,
+    "floss4": floss4,
+    "floss5": floss5,
     "similarity_triplet_loss": similarity_triplet_loss,
+    "l3_loss": l3_loss,
 }

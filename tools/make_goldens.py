@@ -29,6 +29,11 @@ _tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
 _tv.__version__ = "0.0.0"
 sys.modules["torchvision"] = _tv
 sys.modules["torchvision.transforms"] = _tv.transforms
+_tvu = types.ModuleType("torchvision.utils")
+_tvu.save_image = lambda *a, **k: None
+_tvu.make_grid = lambda *a, **k: None
+_tv.utils = _tvu
+sys.modules["torchvision.utils"] = _tvu
 
 sys.path.insert(0, "/root/reference")
 
@@ -584,11 +589,216 @@ def golden_loss_zoo():
             out_d["floss_b1"] = fl.layer1.bias.detach().numpy()
             out_d["floss_w2"] = fl.layer2.weight.detach().numpy()
             out_d["floss_b2"] = fl.layer2.bias.detach().numpy()
+
+            # ---- r3 closure: every remaining live loss (local rng so the
+            # fixtures above stay bit-identical across regeneration) --------
+            r2 = np.random.default_rng(1123)
+
+            def T(*shape):
+                return torch.from_numpy(
+                    r2.standard_normal(shape).astype(np.float32))
+
+            q2, k2, v2 = T(B, 8, 16), T(B, 8, 16), T(B, 8, 16)
+            out_d["q2"], out_d["k2"], out_d["v2"] = (
+                q2.numpy(), k2.numpy(), v2.numpy())
+            out_d["loss_func4"] = mylib.loss_func4()(
+                ref, pan, ms, out, q, k, v).numpy()
+            out_d["loss_func5"] = mylib.loss_func5()(
+                ref, pan, ms, out, q, k, v).numpy()
+            out_d["loss_func7"] = mylib.loss_func7()(
+                ref, pan, ms, out, q, k, v, q2, k2, v2, q1, k1, v1).numpy()
+            out_d["loss_func10"] = mylib.loss_func10()(ref, out).numpy()
+
+            out_l, out_h = T(B, C, H, W), T(B, C, H, W)
+            ms_l, pan_h = T(B, C, H, W), T(B, C, H, W)
+            out_d["out_l"], out_d["out_h"] = out_l.numpy(), out_h.numpy()
+            out_d["ms_l"], out_d["pan_h"] = ms_l.numpy(), pan_h.numpy()
+            out_d["loss_func12"] = mylib.loss_func12()(
+                out_l, out_h, ms_l, pan_h).numpy()
+            out_d["loss_func13"] = mylib.loss_func13()(
+                out_l, out_h, ms_l, pan_h).numpy()
+
+            # FLoss-carrying combos: latents at three pyramid levels
+            pc2, mc2 = T(8, 8, 4, 4), T(8, 8, 4, 4)            # dv=128
+            pgc2, mgc2 = T(8, 24, 4, 4), T(8, 24, 4, 4)        # dv=384
+            pgc1, mgc1 = T(8, 12, 8, 8), T(8, 12, 8, 8)        # dv=768
+            ref8, out8 = T(8, C, H, W), T(8, C, H, W)
+            for nm, t in [("pc2", pc2), ("mc2", mc2), ("pgc2", pgc2),
+                          ("mgc2", mgc2), ("pgc1", pgc1), ("mgc1", mgc1),
+                          ("ref8", ref8), ("out8", out8)]:
+                out_d[nm] = t.numpy()
+            torch.manual_seed(151)
+            f15 = mylib.loss_func15(dv=128, do=16, lambd=0.005).train()
+            out_d["loss_func15"] = f15(ref8, out8, pc2, mc2).numpy()
+            for i, lyr in [(1, f15.cc_loss.layer1), (2, f15.cc_loss.layer2)]:
+                out_d[f"f15_w{i}"] = lyr.weight.detach().numpy()
+                out_d[f"f15_b{i}"] = lyr.bias.detach().numpy()
+            torch.manual_seed(161)
+            f16 = mylib.loss_func16(dv=128, do=16, lambd=0.005).train()
+            out_d["loss_func16"] = f16(ref8, out8, pc2, mc2).numpy()
+            for i, lyr in [(1, f16.cc_loss.layer1), (2, f16.cc_loss.layer2)]:
+                out_d[f"f16_w{i}"] = lyr.weight.detach().numpy()
+                out_d[f"f16_b{i}"] = lyr.bias.detach().numpy()
+            torch.manual_seed(171)
+            f17 = mylib.loss_func17(dv=128, do=16, lambd=0.005).train()
+            # dv args only size the Linears; rebuild to match our latents
+            f17.cc_lossh2 = mylib.FLoss(384, 16, 0.005).train()
+            f17.cc_lossh1 = mylib.FLoss(768, 16, 0.005).train()
+            out_d["loss_func17"] = f17(
+                ref8, out8, pgc2, mgc2, pgc1, mgc1).numpy()
+            for tag, fmod in [("h2", f17.cc_lossh2), ("h1", f17.cc_lossh1)]:
+                out_d[f"f17_{tag}_w1"] = fmod.layer1.weight.detach().numpy()
+                out_d[f"f17_{tag}_b1"] = fmod.layer1.bias.detach().numpy()
+                out_d[f"f17_{tag}_w2"] = fmod.layer2.weight.detach().numpy()
+                out_d[f"f17_{tag}_b2"] = fmod.layer2.bias.detach().numpy()
+            torch.manual_seed(181)
+            f18 = mylib.loss_func18(dv=128, do=16, lambd=0.005).train()
+            f18.cc_lossl = mylib.FLoss(128, 16, 0.005).train()
+            f18.cc_lossh2 = mylib.FLoss(384, 16, 0.005).train()
+            f18.cc_lossh1 = mylib.FLoss(768, 16, 0.005).train()
+            out_d["loss_func18"] = f18(
+                ref8, out8, pc2, mc2, pgc2, mgc2, pgc1, mgc1).numpy()
+            for tag, fmod in [("l", f18.cc_lossl), ("h2", f18.cc_lossh2),
+                              ("h1", f18.cc_lossh1)]:
+                out_d[f"f18_{tag}_w1"] = fmod.layer1.weight.detach().numpy()
+                out_d[f"f18_{tag}_b1"] = fmod.layer1.bias.detach().numpy()
+                out_d[f"f18_{tag}_w2"] = fmod.layer2.weight.detach().numpy()
+                out_d[f"f18_{tag}_b2"] = fmod.layer2.bias.detach().numpy()
+
+            torch.manual_seed(352)
+            fl2 = mylib.FLoss2(dv=128, dv1=384, do=16, lambd=0.5).train()
+            out_d["floss2"] = fl2(pc2, pgc2).numpy()
+            out_d["floss2_w1"] = fl2.layer1.weight.detach().numpy()
+            out_d["floss2_b1"] = fl2.layer1.bias.detach().numpy()
+            out_d["floss2_w2"] = fl2.layer2.weight.detach().numpy()
+            out_d["floss2_b2"] = fl2.layer2.bias.detach().numpy()
+            torch.manual_seed(353)
+            fl3 = mylib.FLoss3(dv=256, dv1=256, do=16, lambd=0.5).train()
+            g1, g2 = T(8, 4, 8, 8), T(8, 4, 8, 8)
+            out_d["floss3_f1"], out_d["floss3_f2"] = g1.numpy(), g2.numpy()
+            out_d["floss3"] = fl3(g1, g2).numpy()
+            for pi, seq in [(1, fl3.layer1), (2, fl3.layer2)]:
+                out_d[f"floss3_p{pi}_wa"] = seq[0].weight.detach().numpy()
+                out_d[f"floss3_p{pi}_ba"] = seq[0].bias.detach().numpy()
+                out_d[f"floss3_p{pi}_wb"] = seq[3].weight.detach().numpy()
+                out_d[f"floss3_p{pi}_bb"] = seq[3].bias.detach().numpy()
+
+            # pyramid L1 combos + latent-correlation family
+            ms2, o2 = T(B, C, 8, 8), T(B, C, 8, 8)
+            ms1, o1 = T(B, C, 4, 4), T(B, C, 4, 4)
+            out_d["ms2"], out_d["o2"] = ms2.numpy(), o2.numpy()
+            out_d["ms1"], out_d["o1"] = ms1.numpy(), o1.numpy()
+            out_d["loss_func20"] = mylib.loss_func20()(ref, out, ms2, o2).numpy()
+            out_d["loss_func21"] = mylib.loss_func21()(
+                ref, out, ms2, o2, ms1, o1).numpy()
+            out_d["loss_func23"] = mylib.loss_func23()(ref, out, ms2, o2).numpy()
+
+            lat = {nm: T(8, 16) for nm in
+                   ["la", "lb", "l1a", "l1b", "ha", "hb",
+                    "lha", "lhb", "llha", "llhb", "l3a", "l3b"]}
+            for nm, t in lat.items():
+                out_d["lat_" + nm] = t.numpy()
+            out_d["floss4"] = mylib.FLoss4(lat["la"], lat["lb"]).numpy()
+            out_d["floss5"] = mylib.FLoss5(lat["la"], lat["lb"]).numpy()
+            out_d["loss_func25"] = mylib.loss_func25()(
+                ref, out, lat["la"], lat["lb"], lat["ha"], lat["hb"]).numpy()
+            out_d["loss_func26"] = mylib.loss_func26()(
+                ref, out, lat["la"], lat["lb"], lat["ha"], lat["hb"]).numpy()
+            out_d["loss_func27"] = mylib.loss_func27()(
+                ref, out, lat["la"], lat["lb"], lat["ha"], lat["hb"]).numpy()
+            out_d["loss_func28"] = mylib.loss_func28()(
+                ref, out, lat["la"], lat["lb"]).numpy()
+            out_d["loss_func29"] = mylib.loss_func29()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"]).numpy()
+            out_d["loss_func29_h"] = mylib.loss_func29_h()(
+                ref, out, lat["ha"], lat["hb"], lat["lha"], lat["lhb"]).numpy()
+            out_d["loss_func29_h_3"] = mylib.loss_func29_h_3()(
+                ref, out, lat["ha"], lat["hb"], lat["lha"], lat["lhb"],
+                lat["llha"], lat["llhb"]).numpy()
+            out_d["loss_func29_lh"] = mylib.loss_func29_lh()(
+                ref, out, lat["l1a"], lat["l1b"], lat["la"], lat["lb"],
+                lat["ha"], lat["hb"], lat["lha"], lat["lhb"]).numpy()
+            out_d["loss_func29_c"] = mylib.loss_func29_c()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"]).numpy()
+            out_d["loss_func29_3layer"] = mylib.loss_func29_3layer()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"],
+                lat["l3a"], lat["l3b"]).numpy()
+            out_d["loss_func29_a"] = mylib.loss_func29_a()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"]).numpy()
+            out_d["loss_func29_1"] = mylib.loss_func29_1()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"]).numpy()
+            out_d["loss_func30"] = mylib.loss_func30()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"]).numpy()
+            out_d["loss_func31"] = mylib.loss_func31()(
+                ref, out, lat["la"], lat["lb"], lat["l1a"], lat["l1b"],
+                lat["ha"], lat["hb"], lat["lha"], lat["lhb"]).numpy()
+            out_d["loss_func32"] = mylib.loss_func32()(
+                ref, out, lat["ha"], lat["hb"], lat["lha"], lat["lhb"]).numpy()
         np.savez(os.path.join(OUT, "loss_zoo.npz"), **out_d)
         print("loss zoo goldens written")
     finally:
         torch.Tensor.cuda = _orig_tcuda
         torch.nn.Module.cuda = _orig_mcuda
+
+
+def golden_metrics_jnp():
+    """Torch metric twins (`core/metrics.py:388-503`) on random batches —
+    pins eval/metrics_jnp.py. SCC uses C=1 (the torch original's 1-in-channel
+    conv crashes for C>1; see metrics_jnp.py docstring).
+
+    core/metrics.py imports skimage/sewar/scipy.ndimage.filters at module
+    level; the torch twins need none of them — stub what's missing."""
+    for name, attrs in [
+        ("skimage", {}),
+        ("skimage.metrics", {"structural_similarity": None,
+                             "peak_signal_noise_ratio": None}),
+        ("sewar", {}),
+    ]:
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                mod = types.ModuleType(name)
+                for k, v in attrs.items():
+                    setattr(mod, k, v)
+                sys.modules[name] = mod
+    try:
+        import scipy.ndimage.filters  # noqa: F401 (removed in scipy>=1.13)
+    except ImportError:
+        import scipy.ndimage as _ndi
+
+        _f = types.ModuleType("scipy.ndimage.filters")
+        _f.sobel, _f.convolve = _ndi.sobel, _ndi.convolve
+        sys.modules["scipy.ndimage.filters"] = _f
+    from core import metrics as RM
+
+    r2 = np.random.default_rng(388)
+
+    def T(*shape):
+        return torch.from_numpy(r2.standard_normal(shape).astype(np.float32))
+
+    N, C, H, W = 3, 4, 32, 32
+    xt, xp = T(N, C, H, W), T(N, C, H, W)
+    x1, y1 = T(N, 1, H, W), T(N, 1, H, W)
+    a, b = T(N, H, W), T(N, H, W)
+    # l_ms lives at the LOW resolution (matches l_pan — QIndex multiplies
+    # elementwise); ps/pan at full resolution
+    lms, ps = torch.rand(N, C, H // 4, W // 4), torch.rand(N, C, H, W)
+    pan, lpan = torch.rand(N, 1, H, W), torch.rand(N, 1, H // 4, W // 4)
+    out = {
+        "xt": xt.numpy(), "xp": xp.numpy(),
+        "x1": x1.numpy(), "y1": y1.numpy(),
+        "a": a.numpy(), "b": b.numpy(),
+        "lms": lms.numpy(), "ps": ps.numpy(),
+        "pan": pan.numpy(), "lpan": lpan.numpy(),
+        "sam": RM.SAM_torch(xt, xp).numpy(),
+        "scc": RM.SCC_torch(x1, y1).numpy(),
+        "qindex": RM.QIndex_torch(a, b).numpy(),
+        "d_lambda": RM.D_lambda_torch(lms, ps).numpy(),
+        "d_s": RM.D_s_torch(lms, pan, lpan, ps).numpy(),
+    }
+    np.savez(os.path.join(OUT, "metrics_jnp.npz"), **out)
+    print("metrics_jnp goldens written")
 
 
 def golden_pgcu():
@@ -634,4 +844,5 @@ if __name__ == "__main__":
     golden_attnpp()
     golden_orphan_blocks()
     golden_loss_zoo()
+    golden_metrics_jnp()
     golden_pgcu()
