@@ -30,6 +30,40 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Opt-in slow tier: tests marked `slow` (multi-minute e2e compiles)
+    only run with TMDIFF_RUN_SLOW=1 — the default suite stays the fast
+    regression net (VERDICT r2 #8: suite wall-time budget)."""
+    if os.environ.get("TMDIFF_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set TMDIFF_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(3407)
+
+
+@pytest.fixture(scope="session")
+def shared_sharp():
+    """ONE tiny Pansharpener shared across test files (same instance ⇒ same
+    jitted-sampler cache): test_harness + test_serve previously built
+    identical copies and paid every sampler compile twice."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmdiff_tpu.data.synthetic import make_arrays
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.pipeline import Pansharpener
+
+    model = WavBEST(channels=(4, 8, 8, 16))
+    data = make_arrays(n=2, bands=4, size=16)
+    x = jnp.asarray(data["gt"] - data["lms"])
+    params = model.init(
+        jax.random.key(0), x, jnp.array([1, 2]), jnp.asarray(data["pan"]),
+        jnp.asarray(data["lms"]), jnp.zeros(768),
+    )
+    return Pansharpener(model, params, n_timestep=10)

@@ -17,15 +17,10 @@ from tmdiff_tpu.pipeline import Pansharpener
 
 
 @pytest.fixture(scope="module")
-def sharp():
-    model = WavBEST(channels=(4, 8, 8, 16))
-    data = make_arrays(n=2, bands=4, size=16)
-    x = jnp.asarray(data["gt"] - data["lms"])
-    params = model.init(
-        jax.random.key(0), x, jnp.array([1, 2]), jnp.asarray(data["pan"]),
-        jnp.asarray(data["lms"]), jnp.zeros(768),
-    )
-    return Pansharpener(model, params, n_timestep=10)
+def sharp(shared_sharp):
+    # session-scope shared instance (conftest) — one compile cache for the
+    # whole suite
+    return shared_sharp
 
 
 def test_validate_rr(sharp, tmp_path):

@@ -57,8 +57,40 @@ def test_loss_decreases(setup):
         state, metrics = trainer.train_step(state, next(it), emb)
         losses.append(float(metrics["l_pix"]))
     assert int(state.step) == 16
-    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
     assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+
+def test_short_run_improves_val_loss(setup):
+    """Learning regression (VERDICT r2 #2): a short train run must improve
+    the diffusion loss on HELD-OUT data, not just the running train loss.
+    The full convergence proof (beats the lms identity baseline on
+    SAM/ERGAS through the real CLI + sampler) is tools/train_convergence.py,
+    recorded in BASELINE.md; this is its ≤2-min canary."""
+    trainer, it, emb, make_state = setup
+    val = PanDataset(make_arrays(n=8, bands=4, size=16, seed=77))
+    val_batch = val.batch(np.arange(8))
+
+    from tmdiff_tpu.diffusion import gaussian
+
+    def val_loss(params):
+        def denoise(x, t, pan, ms):
+            return trainer.model.apply(params, x, t, pan, ms, jnp.asarray(emb))
+
+        # fixed rng: same timesteps/noise draws before and after training
+        return float(gaussian.diffusion_loss(
+            denoise, trainer.schedule, jax.random.key(42),
+            jnp.asarray(val_batch["Res"]), jnp.asarray(val_batch["PAN"]),
+            jnp.asarray(val_batch["MS"]), "l1",
+        ))
+
+    state = make_state()
+    before = val_loss(state.params)
+    for _ in range(30):
+        state, _ = trainer.train_step(state, next(it), emb)
+    after = val_loss(state.params)
+    assert np.isfinite([before, after]).all()
+    assert after < before, (before, after)
 
 
 def test_ema_semantics(rng):

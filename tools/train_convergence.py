@@ -1,0 +1,188 @@
+"""End-to-end learning proof: train a small-but-real config through the CLI
+and show the sampled outputs beat both the untrained model and the trivial
+`lms` identity baseline on SAM/ERGAS/SSIM.
+
+The reference's de-facto integration test is its val loop over trained
+weights (`/root/reference/general_sharpening_joint_random_batch_finetune.py:
+126-152`); this is the synthetic-data equivalent, runnable with no
+satellite data: multi-sensor 64² scenes, channels (16,32,64,128), a few
+thousand steps of the real train path (`cli.main -p train` — mixing,
+EMA, checkpoints), then the dpm++ sampler through the real val path.
+
+Writes JSON results to --out (default /tmp/train_convergence.json); the
+headline numbers are recorded in BASELINE.md. Runtime ~20-40 min on CPU.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/train_convergence.json")
+    p.add_argument("--root", default="/tmp/tmdiff_convergence")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--scenes", type=int, default=64)
+    p.add_argument("--timesteps", type=int, default=500)
+    p.add_argument("--noise", type=float, default=0.002,
+                   help="synthetic pixel-noise std; the default 0.015 puts "
+                        "the irreducible SAM at the lms baseline itself "
+                        "(see data/synthetic.py)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from tmdiff_tpu.data.synthetic import write_h5
+
+    os.makedirs(args.root, exist_ok=True)
+    os.chdir(args.root)
+
+    paths = {}
+    for i, sensor in enumerate(["qb", "gf2", "wv3"]):
+        scale = 1023.0 if sensor == "gf2" else 2047.0
+        bands = 8 if sensor == "wv3" else 4
+        paths[f"train_{sensor}"] = write_h5(
+            os.path.join(args.root, f"train_{sensor}_data.h5"),
+            n=args.scenes, bands=bands, size=args.size, seed=i,
+            img_scale=scale, noise=args.noise,
+        )
+        paths[f"val_{sensor}"] = write_h5(
+            os.path.join(args.root, f"test_{sensor}_data_RR.h5"),
+            n=8, bands=bands, size=args.size, seed=100 + i, img_scale=scale,
+            noise=args.noise,
+        )
+
+    cfg = {
+        "name": "convergence",
+        "phase": "train",
+        "path": {"log": "logs", "results": "results",
+                 "checkpoint": "checkpoint", "resume": None},
+        "datasets": {
+            "train_qb": {"dataroot": paths["train_qb"], "batch_size": 8,
+                         "use_shuffle": True, "data_len": -1},
+            "train_gf2": {"dataroot": paths["train_gf2"], "batch_size": 8,
+                          "use_shuffle": True, "data_len": -1},
+            "train_wv3": {"dataroot": paths["train_wv3"], "batch_size": 8,
+                          "use_shuffle": True, "data_len": -1},
+            "val_QB": {"dataroot": paths["val_qb"], "data_len": -1},
+            "val_GF2": {"dataroot": paths["val_gf2"], "data_len": -1},
+            "val_WV3": {"dataroot": paths["val_wv3"], "data_len": -1},
+        },
+        "model": {
+            "beta_schedule": {
+                "train": {"schedule": "cosine",
+                          "n_timestep": args.timesteps},
+                "val": {"schedule": "cosine", "n_timestep": args.timesteps},
+            },
+            "init_type": "kaiming",
+            "unet": {"channel_multiplier": [16, 32, 64, 128]},
+            "diffusion": {"loss_type": "l1"},
+        },
+        "train": {"val_freq": args.steps, "print_freq": 200,
+                  "max_iter": args.steps, "optimizer": {"lr": 2e-4}},
+        "val_batch_size": 8,
+        "val_max_images": 8,
+    }
+    cfg_path = os.path.join(args.root, "convergence.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    # -- metric helpers over a val set -----------------------------------------
+    from tmdiff_tpu.data.h5 import PanDataset
+    from tmdiff_tpu.eval import metrics as M
+
+    def score_preds(ds, preds):
+        vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
+        n = len(preds)
+        for i in range(n):
+            gt = np.transpose(ds[i]["HR"], (1, 2, 0))
+            pr = np.clip(np.transpose(preds[i], (1, 2, 0)), 0, 1)
+            vals["sam"] += M.sam(pr, gt) / n
+            vals["ergas"] += M.ergas(gt, pr) / n
+            vals["ssim"] += M.ssim(pr, gt, 1.0) / n
+        return vals
+
+    def sample_all(sharp, ds, sensor, params):
+        out = []
+        for s in range(0, len(ds), 8):
+            idx = np.arange(s, min(s + 8, len(ds)))
+            out.extend(np.asarray(sharp.sample(
+                ds.batch(idx), sensor=sensor, method="dpm++",
+                seed=s, params=params)))
+        return out
+
+    from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.pipeline import Pansharpener
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+    from tmdiff_tpu.train.trainer import Trainer
+
+    channels = tuple(cfg["model"]["unet"]["channel_multiplier"])
+    model = WavBEST(channels=channels)
+    schedule = NoiseSchedule.create("cosine", args.timesteps)
+    sharp = Pansharpener(model, params=None, schedule_name="cosine",
+                         n_timestep=args.timesteps)
+
+    val_sets = {
+        "QB": PanDataset(paths["val_qb"]),
+        "GF2": PanDataset(paths["val_gf2"]),
+        "WV3": PanDataset(paths["val_wv3"]),
+    }
+
+    results = {"config": {"channels": channels, "steps": args.steps,
+                          "size": args.size, "timesteps": args.timesteps}}
+
+    # baselines: lms identity (sampled pred := LMS, i.e. Res := 0) and the
+    # UNTRAINED model through the actual sampler
+    trainer = Trainer(model=model, schedule=schedule, lr=2e-4,
+                      max_iter=args.steps)
+    b0 = val_sets["QB"].batch(np.arange(1))
+    emb0 = np.asarray(sharp.prompt_embedding("QB"))
+    state0 = trainer.init_state(b0, emb0)
+    for sensor, ds in val_sets.items():
+        lms_preds = [ds[i]["MS"] for i in range(len(ds))]
+        results[f"lms_{sensor}"] = score_preds(ds, lms_preds)
+        unt = sample_all(sharp, ds, sensor, state0.params)
+        results[f"untrained_{sensor}"] = score_preds(ds, unt)
+        print(sensor, "lms:", results[f"lms_{sensor}"],
+              "untrained:", results[f"untrained_{sensor}"], flush=True)
+
+    # real training through the CLI (joint random-batch mixing, EMA, ckpt)
+    from tmdiff_tpu import cli
+
+    cli.main(["-c", cfg_path, "-p", "train", "--sampler", "dpm++"])
+
+    # load the final checkpoint and score the trained model
+    exp = sorted(os.listdir(os.path.join(args.root, "experiments")))[-1]
+    ckpt_dir = os.path.join(args.root, "experiments", exp, "checkpoint")
+    state = ckpt_lib.restore_checkpoint(ckpt_dir, state0)
+    results["trained_step"] = int(state.step)
+    for sensor, ds in val_sets.items():
+        tr = sample_all(sharp, ds, sensor, state.params)
+        results[f"trained_{sensor}"] = score_preds(ds, tr)
+        print(sensor, "trained:", results[f"trained_{sensor}"], flush=True)
+
+    ok = all(
+        results[f"trained_{s}"]["sam"] < results[f"untrained_{s}"]["sam"]
+        and results[f"trained_{s}"]["sam"] < results[f"lms_{s}"]["sam"]
+        and results[f"trained_{s}"]["ergas"] < results[f"lms_{s}"]["ergas"]
+        for s in val_sets
+    )
+    results["beats_lms_and_untrained"] = ok
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("RESULT", json.dumps(results), flush=True)
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
