@@ -15,6 +15,14 @@ if not os.environ.get("TMDIFF_TEST_TPU"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    if "xla_backend_optimization_level" not in flags:
+        # Tests are compile-bound, not run-bound: the UNet backward costs
+        # ~104 s to compile at the default level on this box vs ~50 s at
+        # level 0, with runtime still fine for 16²-shape tests (measured;
+        # golden-parity and SPMD-exactness tests pass identically — the
+        # flag only relaxes backend codegen effort, not HLO semantics or
+        # partitioning). Export XLA_FLAGS with a level to override.
+        os.environ["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -76,6 +76,7 @@ def test_train_phase_end_to_end(workspace, monkeypatch):
     assert sr.shape == (16, 16, 4)
 
 
+@pytest.mark.slow  # two full CLI sessions ≈ 7 min; TMDIFF_RUN_SLOW=1 tier
 def test_auto_resume_and_preemption(workspace, monkeypatch):
     """Production train-loop robustness: a SIGTERM mid-training checkpoints
     and exits cleanly; a re-run with `path.resume: "auto"` and a stable
