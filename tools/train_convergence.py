@@ -19,6 +19,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -32,11 +34,16 @@ def main(argv=None):
                    help="synthetic pixel-noise std; the default 0.015 puts "
                         "the irreducible SAM at the lms baseline itself "
                         "(see data/synthetic.py)")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                   help="'tpu' keeps the ambient (axon) backend: the train "
+                        "loop runs ~100x faster; compiles go through the "
+                        "dev tunnel (run ONE TPU process at a time)")
     args = p.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
