@@ -106,6 +106,43 @@ def test_ema_semantics(rng):
     )
 
 
+def test_cfg_dropout_training(setup):
+    """CFG condition dropout (`Trainer.p_uncond`): the reference ships this
+    only as an orphaned zero-caller helper (`diffusion_general.py:385-397`);
+    here it is wired into the loss. Semantics: p=1 must equal training on an
+    explicitly zeroed MS; p=0 must be a no-op; per-sample masking must zero
+    whole examples, not pixels. Eager _loss_fn — no extra jit compile."""
+    from tmdiff_tpu.diffusion.gaussian import cfg_dropout_condition
+
+    trainer, it, emb, make_state = setup
+    params = make_state().params
+    batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    rng = jax.random.key(7)
+
+    t1 = Trainer(model=trainer.model, schedule=trainer.schedule, p_uncond=1.0)
+    zeroed = dict(batch, MS=jnp.zeros_like(batch["MS"]))
+    np.testing.assert_allclose(
+        float(t1._loss_fn(params, rng, batch, emb)),
+        float(trainer._loss_fn(params, rng, zeroed, emb)), rtol=1e-6)
+
+    t0 = Trainer(model=trainer.model, schedule=trainer.schedule, p_uncond=0.0)
+    np.testing.assert_allclose(
+        float(t0._loss_fn(params, rng, batch, emb)),
+        float(trainer._loss_fn(params, rng, batch, emb)), rtol=1e-6)
+
+    ms = jnp.asarray(np.random.default_rng(0).standard_normal((8, 4, 4, 4)),
+                     jnp.float32)
+    out = cfg_dropout_condition(rng, ms, 0.5, per_sample=True)
+    per_ex = np.abs(np.asarray(out)).reshape(8, -1).max(axis=1)
+    kept = per_ex > 0
+    assert 0 < kept.sum() < 8  # mixed mask at this seed
+    np.testing.assert_allclose(np.asarray(out)[kept], np.asarray(ms)[kept])
+    # reference-parity per-batch mode: all-or-nothing
+    outb = cfg_dropout_condition(rng, ms, 0.5)
+    assert (np.asarray(outb) == 0).all() or np.allclose(
+        np.asarray(outb), np.asarray(ms))
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     trainer, it, emb, make_state = setup
     state2, _ = trainer.train_step(make_state(), next(it), emb)

@@ -194,6 +194,7 @@ def _run(args, opt, stop):
         lr=(train_opt.get("optimizer") or {}).get("lr", 1e-4),
         max_iter=train_opt.get("max_iter", 300_000),
         loss_type=(opt["model"]["diffusion"] or {}).get("loss_type", "l1"),
+        p_uncond=train_opt.get("p_uncond", 0.0),
         mesh=mesh,
     )
 

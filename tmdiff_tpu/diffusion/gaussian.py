@@ -194,8 +194,18 @@ def cfg_denoise(denoise_fn: DenoiseFn, guidance: float):
     return fn
 
 
-def cfg_dropout_condition(rng, cond, p_uncond: float):
+def cfg_dropout_condition(rng, cond, p_uncond: float, per_sample: bool = False):
     """Training-side CFG: zero the conditioning with probability p_uncond
-    (`classifier_free_guidance_train:385-397`)."""
+    (`classifier_free_guidance_train:385-397` — an orphaned helper upstream:
+    it has zero callers, so the reference never actually trains the
+    unconditional branch; BASELINE.md's sampler zoo quantifies the resulting
+    CFG failure). Default matches the reference helper exactly (one coin per
+    batch); `per_sample=True` is the standard Ho & Salimans recipe (one coin
+    per example) — strictly better gradient coverage per step and what the
+    Trainer uses."""
+    if per_sample:
+        keep = jax.random.uniform(rng, (cond.shape[0],)) >= p_uncond
+        shape = (cond.shape[0],) + (1,) * (cond.ndim - 1)
+        return cond * keep.reshape(shape).astype(cond.dtype)
     drop = jax.random.uniform(rng, ()) < p_uncond
     return jnp.where(drop, jnp.zeros_like(cond), cond)

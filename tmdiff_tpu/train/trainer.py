@@ -67,6 +67,12 @@ class Trainer:
     ema_decay: float = 0.9999
     ema_start: int = 0
     grad_clip: Optional[float] = None
+    # Per-sample probability of zeroing the MS conditioning (classifier-free
+    # guidance training). The reference ships this as an orphaned helper
+    # (`diffusion_general.py:385-397`, zero callers) and consequently its CFG
+    # sampler extrapolates garbage (BASELINE.md sampler zoo); >0 here makes
+    # `method="dpm++_cfg"` actually work.
+    p_uncond: float = 0.0
     mesh: Optional[Any] = None  # jax.sharding.Mesh
     seed: int = 3407
     # Rematerialise the model in the backward pass: ~halves activation HBM
@@ -129,9 +135,14 @@ class Trainer:
         def denoise(x, t, pan, ms):
             return apply(params, x, t, pan, ms, prompt_emb)
 
+        ms = batch["MS"]
+        if self.p_uncond > 0.0:
+            ms = gaussian.cfg_dropout_condition(
+                jax.random.fold_in(rng, 2), ms, self.p_uncond, per_sample=True
+            )
         return gaussian.diffusion_loss(
             denoise, self.schedule, jax.random.fold_in(rng, 0),
-            batch["Res"], batch["PAN"], batch["MS"], self.loss_type,
+            batch["Res"], batch["PAN"], ms, self.loss_type,
         )
 
     def _step(self, state: TrainState, batch: dict, prompt_emb):
