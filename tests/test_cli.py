@@ -49,7 +49,10 @@ def workspace(tmp_path_factory):
             "unet": {"channel_multiplier": [4, 8, 8, 16]},
             "diffusion": {"loss_type": "l1"},
         },
-        "train": {"val_freq": 3, "print_freq": 1, "max_iter": 3,
+        # max_iter NOT divisible by val_freq: the run must still end with a
+        # final checkpoint (regression: runs ending between val boundaries
+        # previously wrote no checkpoint at all)
+        "train": {"val_freq": 3, "print_freq": 1, "max_iter": 4,
                   "optimizer": {"lr": 1e-3}},
         "val_max_images": 1,
     }
@@ -68,6 +71,10 @@ def test_train_phase_end_to_end(workspace, monkeypatch):
     assert (exp / "logs" / "train.log").exists()
     ckpts = list((exp / "checkpoint").glob("I*"))
     assert ckpts, "checkpoint not written"
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+
+    assert ckpt_lib.latest_step(str(exp / "checkpoint")) == 4, (
+        "final (non-val-boundary) state not checkpointed")
     mats = list((exp / "results").rglob("output_mulExm_*.mat"))
     assert mats, ".mat artifacts not written"
     import scipy.io as scio

@@ -278,6 +278,7 @@ def _run(args, opt, stop):
         import time as _time
 
         last_print = (_time.monotonic(), current_step)
+        last_saved = current_step  # resume point (or 0) is already on disk
         while current_step < max_iter and not stop["flag"]:
             batch, sensor = next(mixer)
             emb = np.asarray(sharp.prompt_embedding(sensor))
@@ -299,15 +300,22 @@ def _run(args, opt, stop):
                     opt["path"]["checkpoint"], state,
                     keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
                 )
-        if stop["flag"]:
+                last_saved = current_step
+        if current_step != last_saved:
+            # normal completion (or preemption) between val boundaries: the
+            # final state must still land on disk — a max_iter not divisible
+            # by val_freq previously ended the run with NO checkpoint at all
             path = ckpt_lib.save_checkpoint(
                 opt["path"]["checkpoint"], state,
                 keep=train_opt.get("ckpt_keep"),
             )
-            logger.info(
-                f"Preemption signal: checkpointed step {current_step} "
-                f"to {path}; resume with path.resume='auto'"
-            )
+            if stop["flag"]:
+                logger.info(
+                    f"Preemption signal: checkpointed step {current_step} "
+                    f"to {path}; resume with path.resume='auto'"
+                )
+            else:
+                logger.info(f"Final checkpoint: step {current_step} to {path}")
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)

@@ -29,6 +29,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tmdiff_tpu.diffusion.schedules import NoiseSchedule
 
@@ -166,6 +167,62 @@ def ancestral_sample(
     )
     if num_frames:
         return x, frames
+    return x
+
+
+def ddim_jump(ns: NoiseSchedule, x_t, x0_hat, t, s):
+    """One deterministic DDIM (η=0) jump t → s in the x0 parameterisation:
+
+        x_s = α_s·x̂0 + (σ_s/σ_t)·(x_t − α_t·x̂0)
+
+    with α(u) = `ns.sqrt_alphas_cumprod_prev[u]` (the model-time convention
+    of `diffusion_loss`: u ∈ [1, T], α(0) = 1 is the clean endpoint, so a
+    jump to s = 0 returns x̂0 exactly). `t`/`s` are scalars or (B,) int
+    arrays; requires t ≥ 1 (σ_t > 0). The reference has no deterministic
+    ancestral path — its closest is DPM-Solver++ order 1; this is the
+    distillation-friendly form (train/distill.py builds the progressive
+    targets from two of these jumps)."""
+    bshape = (-1,) + (1,) * (x_t.ndim - 1)
+    a = lambda u: jnp.reshape(ns.sqrt_alphas_cumprod_prev[u], bshape) \
+        if jnp.ndim(u) else ns.sqrt_alphas_cumprod_prev[u]
+    sigma = lambda au: jnp.sqrt(jnp.maximum(1.0 - au * au, 0.0))
+    a_t, a_s = a(t), a(s)
+    ratio = sigma(a_s) / jnp.maximum(sigma(a_t), 1e-12)
+    return a_s * x0_hat + ratio * (x_t - a_t * x0_hat)
+
+
+def ddim_sample(
+    denoise_fn: DenoiseFn,
+    ns: NoiseSchedule,
+    rng: jax.Array,
+    pan: jnp.ndarray,
+    ms: jnp.ndarray,
+    shape: tuple,
+    *,
+    steps: int = 50,
+    clip_mode: str = "static",
+    x_init: Optional[jnp.ndarray] = None,
+):
+    """Deterministic DDIM sampler: `steps` x0-parameterised jumps down a
+    uniform integer model-time grid T = t_0 > t_1 > … > t_steps = 0, one
+    `lax.scan`. This is the sampler progressive distillation students are
+    trained for (train/distill.py): an N-step student is scored with
+    `ddim_sample(steps=N)` on exactly its training grid."""
+    T = ns.num_timesteps
+    grid = np.round(np.linspace(T, 0, steps + 1)).astype(np.int32)
+    if len(np.unique(grid)) != steps + 1:
+        raise ValueError(f"steps={steps} > T={T}: grid degenerates")
+    x = x_init if x_init is not None else jax.random.normal(rng, shape)
+    b = shape[0]
+
+    def step(x, ts):
+        t, s = ts
+        x0 = denoise_fn(x, jnp.full((b,), t, jnp.int32), pan, ms)
+        return ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s), None
+
+    pairs = jnp.stack(
+        [jnp.asarray(grid[:-1]), jnp.asarray(grid[1:])], axis=1)
+    x, _ = jax.lax.scan(step, x, pairs)
     return x
 
 

@@ -12,7 +12,10 @@ Samplers:
     multistep order 3) for noise-prediction checkpoints;
   * "dpm++_cfg"   — classifier-free guided multistep order 2
     (`sample_by_dpmsolver_guidance`);
-  * "regression"  — 1-NFE shortcut (`sample_by_regression`).
+  * "regression"  — 1-NFE shortcut (`sample_by_regression`);
+  * "ddim"        — deterministic η=0 sampler on a uniform grid (`steps=`),
+    the sampler progressively-distilled students are trained for
+    (train/distill.py); no reference counterpart.
 
 TPU-first details:
   * each sampler config compiles ONCE (cached by (method, shape, steps, …));
@@ -106,6 +109,11 @@ class Pansharpener:
                     )
             elif method == "regression":
                 res = gaussian.regression_sample(denoise, rng, pan, ms, shape)
+            elif method == "ddim":
+                res = gaussian.ddim_sample(
+                    denoise, self.ns, rng, pan, ms, shape,
+                    steps=steps or 50, x_init=x_init,
+                )
             elif method == "dpm++_cfg":
                 # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
                 # diffusion_general.py:300-321); both branches' cond features

@@ -145,10 +145,10 @@ class Trainer:
             batch["Res"], batch["PAN"], ms, self.loss_type,
         )
 
-    def _step(self, state: TrainState, batch: dict, prompt_emb):
+    def _step(self, state: TrainState, batch: dict, prompt_emb, *extra):
         rng = jax.random.fold_in(jax.random.key(self.seed), state.step)
         loss, grads = jax.value_and_grad(self._loss_fn)(
-            state.params, rng, batch, prompt_emb
+            state.params, rng, batch, prompt_emb, *extra
         )
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params
@@ -173,9 +173,13 @@ class Trainer:
             self._jit_step = jax.jit(self._step, donate_argnums=(0,))
         return self._jit_step
 
-    def train_step(self, state: TrainState, batch: dict, prompt_emb):
-        """One optimization step; `batch` is a host numpy dict."""
+    def train_step(self, state: TrainState, batch: dict, prompt_emb, *extra):
+        """One optimization step; `batch` is a host numpy dict. `*extra` is
+        forwarded to `_loss_fn` (subclass hook — e.g. DistillTrainer threads
+        the teacher params through the jit boundary instead of closing over
+        them, which would bake them into the executable as constants)."""
         device_batch = mesh_lib.shard_batch(self.mesh, {
             k: batch[k] for k in ("Res", "PAN", "MS")
         })
-        return self.compiled_step()(state, device_batch, jnp.asarray(prompt_emb))
+        return self.compiled_step()(
+            state, device_batch, jnp.asarray(prompt_emb), *extra)
