@@ -121,6 +121,7 @@ class TestPansharpener:
         ("ancestral", {"legacy_noise_inversion": True}),
         ("dpm++", {"steps": 6}),
         ("dpm++_cfg", {"steps": 4}),
+        ("ddim", {"steps": 4}),
     ])
     def test_samplers(self, sharp, method, kwargs):
         sharpener, batch = sharp
@@ -128,6 +129,22 @@ class TestPansharpener:
         assert out.shape == batch["MS"].shape
         assert np.isfinite(out).all()
         assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_cfg_guidance_is_traced_not_a_compile_key(self, sharp):
+        """One compiled CFG sampler serves every guidance value (a sweep or
+        per-request serving guidance costs ONE compile); different scales
+        still produce different images, same scale reproduces bitwise."""
+        sharpener, batch = sharp
+        a = sharpener.sample(batch, sensor="QB", method="dpm++_cfg",
+                             steps=4, guidance=1.5, seed=5)
+        n = len(sharpener._compiled)
+        b = sharpener.sample(batch, sensor="QB", method="dpm++_cfg",
+                             steps=4, guidance=2.5, seed=5)
+        a2 = sharpener.sample(batch, sensor="QB", method="dpm++_cfg",
+                              steps=4, guidance=1.5, seed=5)
+        assert len(sharpener._compiled) == n, "guidance recompiled the sampler"
+        assert not np.allclose(a, b), "guidance scale had no effect"
+        np.testing.assert_array_equal(a, a2)
 
 
 def test_ancestral_continuous_frames():

@@ -178,11 +178,16 @@ class WrappedModel:
         assert self.guidance_type in ("uncond", "classifier-free")
 
     def _cfg_active(self):
-        return (
-            self.guidance_type == "classifier-free"
-            and self.guidance_scale != 1.0
-            and self.unconditional_condition is not None
-        )
+        # Must be decidable at trace time: guidance_scale may be a traced
+        # scalar (one compiled sampler serves every guidance value — a sweep
+        # costs one compile). A traced scale counts as active; at runtime
+        # value 1.0 the combination degenerates to the conditional branch
+        # (uncond + 1·(cond − uncond) = cond), so semantics are unchanged.
+        if (self.guidance_type != "classifier-free"
+                or self.unconditional_condition is None):
+            return False
+        static = isinstance(self.guidance_scale, (int, float))
+        return not (static and self.guidance_scale == 1.0)
 
     def _raw(self, x, t_input):
         if self.guidance_type == "uncond":

@@ -83,10 +83,10 @@ class Pansharpener:
     def _denoise(self, params, x, t, cache):
         return self.model.apply(params, x, t, cache, method=self.model.denoise)
 
-    def _build(self, method: str, steps: Optional[int], guidance: float,
+    def _build(self, method: str, steps: Optional[int],
                legacy: bool, num_frames: Optional[int] = None):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
-                step_noise=None):
+                step_noise=None, guidance=3.0):
             rng = jax.random.fold_in(jax.random.key(0), seed)
             shape = ms.shape
             cache = self._encode(params, pan, ms, prompt_emb)
@@ -179,10 +179,13 @@ class Pansharpener:
         replay an explicit noise sequence — the golden-test hook."""
         pan = jnp.asarray(batch["PAN"])
         ms = jnp.asarray(batch["MS"])
-        key = (method, steps, guidance, legacy_noise_inversion, num_frames)
+        # guidance is a traced argument, NOT part of the compile key: a
+        # guidance sweep (or per-request guidance in serving) reuses one
+        # compiled CFG sampler.
+        key = (method, steps, legacy_noise_inversion, num_frames)
         if key not in self._compiled:
             self._compiled[key] = self._build(
-                method, steps, guidance, legacy_noise_inversion, num_frames
+                method, steps, legacy_noise_inversion, num_frames
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params
@@ -212,6 +215,7 @@ class Pansharpener:
                 use_params = jax.device_put(params, replicated(self.mesh))
         out = self._compiled[key](
             use_params, pan, ms, prompt_emb, seed, x_init, step_noise,
+            jnp.float32(guidance),
         )
         if method == "ancestral" and num_frames:
             final, frames = out
