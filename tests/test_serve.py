@@ -58,6 +58,23 @@ def test_engine_batches_concurrent_requests(sharp):
         engine.shutdown()
 
 
+def test_engine_serves_distilled_ddim(sharp):
+    """A distilled few-NFE deployment is just an engine config:
+    method='ddim', steps=N — no engine changes (BASELINE.md measures 18.5
+    img/s/chip for 1-NFE ddim at flagship shapes)."""
+    from tmdiff_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(sharp, method="ddim", steps=2, max_batch=2,
+                             max_delay_ms=50.0)
+    try:
+        pan, ms = _image(0)
+        out = engine.submit(pan, ms, "QB").result(timeout=120)
+        assert out.shape == ms.shape
+        assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+    finally:
+        engine.shutdown()
+
+
 def test_engine_pads_to_bucket_and_mixes_groups(sharp):
     from tmdiff_tpu.serve import InferenceEngine
 
