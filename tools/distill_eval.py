@@ -136,7 +136,12 @@ def main(argv=None):
             params=jax.tree.map(lambda x: x.copy(), current_teacher),
             ema_params=jax.tree.map(lambda x: x.copy(), current_teacher),
         )
-        t_dev = jax.device_put(current_teacher)
+        # replicate over the trainer's mesh (a bare device_put would commit
+        # to device 0 and clash with mesh-sharded batches on multi-device)
+        from tmdiff_tpu.parallel import mesh as mesh_lib
+
+        t_dev = jax.device_put(current_teacher,
+                               mesh_lib.replicated(trainer.mesh))
         for k in range(args.steps_per_phase):
             sensor = mix[k % len(mix)]
             state, m = trainer.train_step(
