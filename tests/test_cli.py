@@ -83,6 +83,36 @@ def test_train_phase_end_to_end(workspace, monkeypatch):
     assert sr.shape == (16, 16, 4)
 
 
+def test_distill_phase_end_to_end(workspace, monkeypatch):
+    """`-p distill`: progressive distillation as a first-class CLI workflow —
+    resumes the teacher, runs halving phases over the sensor mixer, saves a
+    per-phase student checkpoint, and validates with ddim(steps=N)."""
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    from tmdiff_tpu import cli
+    from tmdiff_tpu.train import checkpoint as ckpt_lib
+
+    if not (root / "experiments").exists():  # robust under -k filtering
+        cli.main(["-c", cfg_path, "-p", "train", "--sampler", "regression"])
+    teacher_ckpt = sorted((root / "experiments").iterdir())[0] / "checkpoint"
+
+    cfg = json.loads((root / "smoke.json").read_text())
+    cfg["name"] = "smoke_distill"
+    cfg["path"]["resume"] = str(teacher_ckpt)
+    # T=10, N=5: seg=2, teacher half-jumps on integer times (T % 2N == 0)
+    cfg["train"]["distill"] = {"phases": [5], "steps_per_phase": 2}
+    distill_cfg = root / "smoke_distill.json"
+    distill_cfg.write_text(json.dumps(cfg))
+
+    cli.main(["-c", str(distill_cfg), "-p", "distill"])
+    exp = [d for d in (root / "experiments").iterdir()
+           if d.name.startswith("smoke_distill")][0]
+    student_dir = str(exp / "checkpoint" / "distill_N5")
+    assert ckpt_lib.latest_step(student_dir) == 2, "student not checkpointed"
+    mats = list(exp.rglob("output_mulExm_*.mat"))
+    assert mats, "ddim validation did not run"
+
+
 @pytest.mark.slow  # two full CLI sessions ≈ 7 min; TMDIFF_RUN_SLOW=1 tier
 def test_auto_resume_and_preemption(workspace, monkeypatch):
     """Production train-loop robustness: a SIGTERM mid-training checkpoints

@@ -104,12 +104,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
     parser.add_argument("-p", "--phase", type=str, default="val",
-                        choices=["train", "val"])
+                        choices=["train", "val", "distill"])
     parser.add_argument("-gpu", "--gpu_ids", type=str, default=None)  # parity; unused
     parser.add_argument("-debug", "-d", action="store_true", dest="debug")
     parser.add_argument("-log_eval", action="store_true")
     parser.add_argument("--sampler", type=str, default="dpm++",
-                        choices=["dpm++", "dpm++_noise", "ancestral", "regression"])
+                        choices=["dpm++", "dpm++_noise", "ancestral",
+                                 "regression", "ddim"])
     args = parser.parse_args(argv)
 
     opt = parse_config(args.config, phase=args.phase, debug=args.debug)
@@ -124,7 +125,7 @@ def main(argv=None):
 
     stop = {"flag": False}
     prev_handlers = {}
-    if (args.phase == "train"
+    if (args.phase in ("train", "distill")
             and threading.current_thread() is threading.main_thread()):
         import signal
 
@@ -163,10 +164,12 @@ def _run(args, opt, stop):
     from tmdiff_tpu.train.trainer import Trainer
     from tmdiff_tpu.train import checkpoint as ckpt_lib
 
-    mixer, val_sets = build_datasets(opt, args.phase)
+    mixer, val_sets = build_datasets(
+        opt, "train" if args.phase == "distill" else args.phase)
     logger.info("Initial Dataset Finished")
 
-    sched_opt = opt["model"]["beta_schedule"][args.phase]
+    sched_opt = opt["model"]["beta_schedule"][
+        "val" if args.phase == "val" else "train"]
     channels = tuple(opt["model"]["unet"]["channel_multiplier"] or (32, 64, 128, 256))
     model = WavBEST(channels=channels)
     schedule = NoiseSchedule.create(sched_opt["schedule"], sched_opt["n_timestep"])
@@ -199,7 +202,7 @@ def _run(args, opt, stop):
     )
 
     # Init / resume state.
-    if args.phase == "train":
+    if args.phase in ("train", "distill"):
         first_batch, first_sensor = next(mixer)
     else:
         sensor0, ds0 = next(iter(val_sets.items()))
@@ -249,7 +252,7 @@ def _run(args, opt, stop):
     current_step = int(state.step)
     logger.info("Initial Model Finished")
 
-    def run_validation(state):
+    def run_validation(state, method=None, steps=None):
         eval_params = (
             state.ema_params if train_opt.get("use_ema_eval") else state.params
         )
@@ -257,7 +260,8 @@ def _run(args, opt, stop):
             scores = validate(
                 sharp, ds, sensor,
                 result_dir=os.path.join(opt["path"]["results"], sensor),
-                method=args.sampler,
+                method=method or args.sampler,
+                steps=steps,
                 batch_size=int(opt.get("val_batch_size") or 4),
                 max_images=int(opt.get("val_max_images") or -1),
                 params=eval_params,
@@ -316,6 +320,62 @@ def _run(args, opt, stop):
                 )
             else:
                 logger.info(f"Final checkpoint: step {current_step} to {path}")
+    elif args.phase == "distill":
+        # Progressive distillation as a first-class workflow (train/distill.py;
+        # results/methodology: BASELINE.md "Progressive distillation"). Config:
+        #   "train": {"distill": {"phases": [10, 5], "steps_per_phase": 600,
+        #                          "lr": 1e-4}}
+        # `path.resume` must point at the teacher checkpoint. Each phase-N
+        # student is checkpointed under checkpoint/distill_N{N} and validated
+        # with its matching ddim(steps=N) sampler.
+        import jax
+
+        from tmdiff_tpu.parallel import mesh as mesh_lib
+        from tmdiff_tpu.train.distill import DistillTrainer
+
+        if not resume:
+            raise ValueError(
+                "distill phase requires path.resume = the teacher checkpoint")
+        d_opt = train_opt.get("distill") or {}
+        phases = [int(n) for n in (d_opt.get("phases") or [10, 5])]
+        steps_per_phase = int(d_opt.get("steps_per_phase") or 600)
+        print_freq = train_opt.get("print_freq", 50)
+        teacher = state.params
+        logger.info(f"Begin progressive distillation: phases={phases} "
+                    f"steps_per_phase={steps_per_phase} from step "
+                    f"{int(state.step)} teacher")
+        for n in phases:
+            if stop["flag"]:
+                break
+            d_trainer = DistillTrainer(
+                model=model, schedule=schedule, n_student_steps=n,
+                lr=float(d_opt.get("lr") or 1e-4), warmup_steps=20,
+                max_iter=steps_per_phase,
+                loss_type=trainer.loss_type, mesh=trainer.mesh,
+            )
+            p_state = d_trainer.init_state(first_batch, prompt_emb)
+            p_state = p_state.replace(
+                params=jax.tree.map(lambda x: x.copy(), teacher),
+                ema_params=jax.tree.map(lambda x: x.copy(), teacher),
+            )
+            t_dev = jax.device_put(
+                teacher, mesh_lib.replicated(d_trainer.mesh))
+            for k in range(steps_per_phase):
+                if stop["flag"]:
+                    break
+                batch, sensor = next(mixer)
+                emb = np.asarray(sharp.prompt_embedding(sensor))
+                p_state, m = d_trainer.train_step(p_state, batch, emb, t_dev)
+                if (k + 1) % print_freq == 0:
+                    logger.info(f"distill N={n} step {k + 1} "
+                                f"l_distill: {float(m['l_pix']):.3e}")
+            teacher = p_state.params
+            path = ckpt_lib.save_checkpoint(
+                os.path.join(opt["path"]["checkpoint"], f"distill_N{n}"),
+                p_state,
+            )
+            logger.info(f"distill N={n} done -> {path}")
+            run_validation(p_state, method="ddim", steps=n)
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)

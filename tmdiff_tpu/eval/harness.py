@@ -33,6 +33,7 @@ def validate(
     sensor: str,
     result_dir: Optional[str] = None,
     method: str = "dpm++",
+    steps: Optional[int] = None,
     batch_size: int = 4,
     max_images: int = -1,
     save_mat: bool = True,
@@ -86,7 +87,7 @@ def validate(
         idx = np.arange(start, min(start + batch_size, n))
         batch = dataset.batch(idx)
         preds = sharpener.sample(batch, sensor=sensor, method=method,
-                                 seed=seed + start, params=params)
+                                 steps=steps, seed=seed + start, params=params)
         if fast:
             ssim_v, sam_v = _batch_metrics(
                 jnp.asarray(preds), jnp.asarray(batch["HR"]))

@@ -91,10 +91,13 @@ def main(argv=None):
             ("dpm++_cfg", {"guidance": 3.0}),
             ("ancestral", {}),                           # 500-step scan
             ("ancestral", {"legacy_noise_inversion": True}),
+            ("ddim", {"steps": 5}),                      # deterministic η=0
+            ("ddim", {"steps": 1}),                      # in-range 1 NFE
         ],
         "WV3": [
             ("regression", {}),
             ("dpm++", {}),
+            ("ddim", {"steps": 1}),
         ],
     }
 
