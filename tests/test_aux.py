@@ -138,6 +138,22 @@ class TestPansharpener:
         assert not np.allclose(a, b), "guidance scale had no effect"
         np.testing.assert_array_equal(a, a2)
 
+    def test_per_sample_guidance_vector(self, sharp):
+        """A (B,) guidance vector applies each row's scale independently:
+        row i of a mixed-scale batch equals row i of the same batch run at
+        that row's scalar scale (same seed → same x_T). This is what lets
+        the serving engine co-batch requests at different guidance scales."""
+        sharpener, batch = sharp
+        mixed = sharpener.sample(batch, sensor="QB", method="dpm++_cfg",
+                                 steps=4, guidance=np.array([1.5, 2.5]),
+                                 seed=5)
+        s15 = sharpener.sample(batch, sensor="QB", method="dpm++_cfg",
+                               steps=4, guidance=1.5, seed=5)
+        s25 = sharpener.sample(batch, sensor="QB", method="dpm++_cfg",
+                               steps=4, guidance=2.5, seed=5)
+        np.testing.assert_allclose(mixed[0], s15[0], atol=1e-6)
+        np.testing.assert_allclose(mixed[1], s25[1], atol=1e-6)
+
 
 def test_ancestral_continuous_frames():
     """Reference `continous=True` mode: intermediate frames returned."""

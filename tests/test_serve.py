@@ -75,6 +75,31 @@ def test_engine_serves_distilled_ddim(sharp):
         engine.shutdown()
 
 
+def test_engine_cobatches_mixed_guidance(sharp):
+    """Requests at different CFG scales ride ONE batch and ONE compiled
+    program (per-sample guidance vector); each row matches the direct
+    sampler run with the same vector and seed."""
+    from tmdiff_tpu.serve import InferenceEngine
+
+    engine = InferenceEngine(sharp, method="dpm++_cfg", steps=4, max_batch=2,
+                             max_delay_ms=200.0)
+    try:
+        (p0, m0), (p1, m1) = _image(0), _image(1)
+        f0 = engine.submit(p0, m0, "QB", guidance=1.5)
+        f1 = engine.submit(p1, m1, "QB", guidance=2.5)
+        out = [f.result(timeout=120) for f in (f0, f1)]
+        assert engine.stats["batches"] == 1  # mixed scales co-batched
+        direct = sharp.sample(
+            {"PAN": np.stack([p0, p1]), "MS": np.stack([m0, m1])},
+            sensor="QB", method="dpm++_cfg", steps=4, seed=0,
+            guidance=np.array([1.5, 2.5], np.float32),
+        )
+        np.testing.assert_allclose(out[0], direct[0], atol=1e-6)
+        np.testing.assert_allclose(out[1], direct[1], atol=1e-6)
+    finally:
+        engine.shutdown()
+
+
 def test_engine_pads_to_bucket_and_mixes_groups(sharp):
     from tmdiff_tpu.serve import InferenceEngine
 

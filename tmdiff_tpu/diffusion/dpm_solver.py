@@ -206,7 +206,12 @@ class WrappedModel:
             )
             out = self.model(x2, t2, c2)
             uncond, cond = jnp.split(self._to_noise(x2, out, alpha_t, sigma_t), 2)
-            return uncond + self.guidance_scale * (cond - uncond)
+            # scalar or per-sample (B,) guidance — the latter lets one batch
+            # mix requests at different scales (serving co-batching)
+            gs = self.guidance_scale
+            if jnp.ndim(gs) > 0:
+                gs = jnp.reshape(gs, (-1,) + (1,) * (x.ndim - 1))
+            return uncond + gs * (cond - uncond)
         return self._to_noise(x, self._raw(x, t_input), alpha_t, sigma_t)
 
     def _to_noise(self, x, out, alpha_t, sigma_t):

@@ -215,7 +215,9 @@ class Pansharpener:
                 use_params = jax.device_put(params, replicated(self.mesh))
         out = self._compiled[key](
             use_params, pan, ms, prompt_emb, seed, x_init, step_noise,
-            jnp.float32(guidance),
+            # scalar, or per-sample (B,) guidance (mixed-scale co-batching);
+            # traced either way — scalar↔vector is the only retrace boundary
+            jnp.asarray(guidance, jnp.float32),
         )
         if method == "ancestral" and num_frames:
             final, frames = out

@@ -43,6 +43,7 @@ class _Request:
     sensor: str
     future: Future
     enqueued_at: float
+    guidance: Optional[float] = None  # CFG scale; None = engine default
 
 
 class EngineOverloaded(RuntimeError):
@@ -70,6 +71,7 @@ class InferenceEngine:
     sharp: object
     method: str = "dpm++"
     steps: Optional[int] = None
+    guidance: float = 3.0  # default CFG scale (dpm++_cfg only)
     max_batch: int = 8
     max_delay_ms: float = 15.0
     buckets: Optional[Sequence[int]] = None
@@ -98,7 +100,11 @@ class InferenceEngine:
 
     # -- public API ----------------------------------------------------------
 
-    def submit(self, pan, ms, sensor: str = "QB") -> Future:
+    def submit(self, pan, ms, sensor: str = "QB",
+               guidance: Optional[float] = None) -> Future:
+        """`guidance` (dpm++_cfg engines only) overrides the engine default
+        per request; mixed scales co-batch — guidance rides as a per-sample
+        (B,) vector into ONE compiled sampler (pipeline.py)."""
         pan = np.asarray(pan, np.float32)
         ms = np.asarray(ms, np.float32)
         if pan.ndim == 2:
@@ -121,7 +127,8 @@ class InferenceEngine:
                 f"pending queue at limit ({self.max_queue}); retry later"
             )
         fut: Future = Future()
-        self._queue.put(_Request(pan, ms, sensor, fut, time.monotonic()))
+        self._queue.put(
+            _Request(pan, ms, sensor, fut, time.monotonic(), guidance))
         return fut
 
     def warmup(self, shapes: Sequence[tuple[int, int, int]],
@@ -201,9 +208,19 @@ class InferenceEngine:
                 seed = self._seed
                 self._seed += 1
             sensors = [r.sensor for r in group] + [group[-1].sensor] * (b - n)
+            kw = {}
+            if self.method == "dpm++_cfg":
+                # per-sample guidance vector: requests at different scales
+                # share the batch AND the compiled program (scalar vs vector
+                # guidance is the only retrace boundary, so non-CFG engines
+                # keep the scalar signature direct callers use)
+                gvec = [r.guidance if r.guidance is not None else self.guidance
+                        for r in group]
+                kw["guidance"] = np.asarray(
+                    gvec + [gvec[-1]] * (b - n), np.float32)
             out = self.sharp.sample(
                 {"PAN": pan, "MS": ms}, sensor=sensors,
-                method=self.method, steps=self.steps, seed=seed,
+                method=self.method, steps=self.steps, seed=seed, **kw,
             )
             now = time.monotonic()
             self.stats["requests"] += n

@@ -71,7 +71,9 @@ class _Handler(BaseHTTPRequestHandler):
             data = np.load(io.BytesIO(self.rfile.read(length)))
             pan, ms = data["pan"], data["ms"]
             sensor = str(data["sensor"]) if "sensor" in data else "QB"
-            sr = self.engine.submit(pan, ms, sensor=sensor).result()
+            guidance = float(data["guidance"]) if "guidance" in data else None
+            sr = self.engine.submit(
+                pan, ms, sensor=sensor, guidance=guidance).result()
         except EngineOverloaded as err:
             self.send_response(503)
             self.send_header("Retry-After", "1")
