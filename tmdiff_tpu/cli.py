@@ -252,10 +252,10 @@ def _run(args, opt, stop):
     current_step = int(state.step)
     logger.info("Initial Model Finished")
 
-    def run_validation(state, method=None, steps=None):
-        eval_params = (
-            state.ema_params if train_opt.get("use_ema_eval") else state.params
-        )
+    def run_validation(state, method=None, steps=None, use_ema=None):
+        if use_ema is None:
+            use_ema = bool(train_opt.get("use_ema_eval"))
+        eval_params = state.ema_params if use_ema else state.params
         for sensor, ds in val_sets.items():
             scores = validate(
                 sharp, ds, sensor,
@@ -353,11 +353,7 @@ def _run(args, opt, stop):
                 max_iter=steps_per_phase,
                 loss_type=trainer.loss_type, mesh=trainer.mesh,
             )
-            p_state = d_trainer.init_state(first_batch, prompt_emb)
-            p_state = p_state.replace(
-                params=jax.tree.map(lambda x: x.copy(), teacher),
-                ema_params=jax.tree.map(lambda x: x.copy(), teacher),
-            )
+            p_state = d_trainer.state_from_params(teacher)
             t_dev = jax.device_put(
                 teacher, mesh_lib.replicated(d_trainer.mesh))
             for k in range(steps_per_phase):
@@ -375,7 +371,15 @@ def _run(args, opt, stop):
                 p_state,
             )
             logger.info(f"distill N={n} done -> {path}")
-            run_validation(p_state, method="ddim", steps=n)
+            if stop["flag"]:
+                # preempted: the student is checkpointed — don't start a
+                # multi-minute validation compile inside the grace window
+                logger.info("Preemption signal: skipping phase validation")
+                break
+            # score the STUDENT params: the phase EMA is teacher-seeded and
+            # barely moves over a short phase (0.9999^600 ≈ 94% teacher), so
+            # use_ema_eval would silently grade the teacher instead
+            run_validation(p_state, method="ddim", steps=n, use_ema=False)
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)

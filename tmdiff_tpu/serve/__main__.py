@@ -21,8 +21,14 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--sampler", default="dpm++",
-                   choices=["dpm++", "dpm++_noise", "ancestral", "regression"])
-    p.add_argument("--steps", type=int, default=None)
+                   choices=["dpm++", "dpm++_noise", "ancestral", "regression",
+                            "ddim", "dpm++_cfg"])
+    p.add_argument("--steps", type=int, default=None,
+                   help="sampler step count (e.g. a distilled few-NFE ddim "
+                        "deployment: --sampler ddim --steps 1)")
+    p.add_argument("--guidance", type=float, default=3.0,
+                   help="default CFG scale for --sampler dpm++_cfg; requests "
+                        "may override per-call via the 'guidance' field")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-delay-ms", type=float, default=15.0)
     p.add_argument("--max-queue", type=int, default=64,
@@ -90,7 +96,7 @@ def main(argv=None):
     sharp.params = state.ema_params if args.use_ema else state.params
 
     engine = InferenceEngine(
-        sharp, method=args.sampler, steps=args.steps,
+        sharp, method=args.sampler, steps=args.steps, guidance=args.guidance,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
         max_queue=args.max_queue,
     )

@@ -121,6 +121,14 @@ class InferenceEngine:
                 f"pan spatial dims {pan.shape[-2:]} must match ms "
                 f"{ms.shape[-2:]} (ms is the upsampled LMS)"
             )
+        if guidance is not None and self.method != "dpm++_cfg":
+            # guidance only affects the CFG sampler; silently ignoring it
+            # would let a client believe it swept scales on a ddim/dpm++
+            # deployment
+            raise ValueError(
+                f"guidance= is only meaningful on a dpm++_cfg engine "
+                f"(this engine runs {self.method!r})"
+            )
         if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
             self.stats["rejected"] += 1
             raise EngineOverloaded(

@@ -118,6 +118,23 @@ class Trainer:
         )
         return jax.device_put(state, mesh_lib.replicated(self.mesh))
 
+    def state_from_params(self, params) -> TrainState:
+        """TrainState seeded from EXISTING params (a teacher/checkpoint
+        pytree) — fresh optimizer and EMA state, no model.init trace (which
+        costs a full-model compile per call on the TPU tunnel). Buffers are
+        copied so the donated step never sees aliased inputs."""
+        params = jax.device_put(
+            jax.tree.map(lambda x: jnp.asarray(x).copy(), params),
+            mesh_lib.replicated(self.mesh),
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            ema_params=jax.tree.map(lambda x: x.copy(), params),
+        )
+        return jax.device_put(state, mesh_lib.replicated(self.mesh))
+
     # -- the step ------------------------------------------------------------
 
     def _loss_fn(self, params, rng, batch, prompt_emb):

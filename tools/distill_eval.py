@@ -131,11 +131,7 @@ def main(argv=None):
             model=model, schedule=schedule, n_student_steps=n,
             lr=args.lr, warmup_steps=20, max_iter=args.steps_per_phase,
         )
-        state = trainer.init_state(next(iters["QB"]), emb_qb)
-        state = state.replace(
-            params=jax.tree.map(lambda x: x.copy(), current_teacher),
-            ema_params=jax.tree.map(lambda x: x.copy(), current_teacher),
-        )
+        state = trainer.state_from_params(current_teacher)
         # replicate over the trainer's mesh (a bare device_put would commit
         # to device 0 and clash with mesh-sharded batches on multi-device)
         from tmdiff_tpu.parallel import mesh as mesh_lib

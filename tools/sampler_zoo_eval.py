@@ -47,7 +47,10 @@ def main(argv=None):
     from tmdiff_tpu.train.trainer import Trainer
     from tmdiff_tpu.diffusion.schedules import NoiseSchedule
 
-    channels = (16, 32, 64, 128)
+    # channels come from the convergence run's own config (a hardcoded tuple
+    # here would crash restore for non-default channel_multiplier runs)
+    cfg = json.load(open(os.path.join(args.root, "convergence.json")))
+    channels = tuple(cfg["model"]["unet"]["channel_multiplier"])
     model = WavBEST(channels=channels)
     sharp = Pansharpener(model, params=None, schedule_name="cosine",
                          n_timestep=args.timesteps)
