@@ -20,7 +20,8 @@ from tmdiff_tpu.models.clip_text import get_prompt_embedding
 from tmdiff_tpu.diffusion import gaussian
 from tmdiff_tpu.diffusion.schedules import NoiseSchedule
 
-B, bands, H, W = 8, 8, 256, 256
+B, H, W = 8, 256, 256
+bands = int(os.environ.get("TMDIFF_BENCH_BANDS", "8"))  # 8=WV3, 4=QB/GF2
 model = WavBEST(channels=(32, 64, 128, 256), dtype=jnp.bfloat16)
 emb = jnp.asarray(get_prompt_embedding("WV3"))
 ns = NoiseSchedule.create("cosine", 500)
