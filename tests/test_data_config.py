@@ -126,6 +126,24 @@ class TestConfig:
         assert opt["datasets"]["train_qb"]["batch_size"] == 2
         assert opt["model"]["beta_schedule"]["train"]["n_timestep"] == 10
 
+    def test_debug_keeps_distill_chain_valid(self, tmp_path):
+        """Debug shrinks T to 10; the distill phases must be rewritten to a
+        chain satisfying T % 2N == 0 or `-p distill -debug` crashes."""
+        cfg = {
+            "name": "t", "path": {"log": "logs"},
+            "model": {"beta_schedule": {"train": {"schedule": "cosine",
+                                                   "n_timestep": 1000}}},
+            "train": {"distill": {"phases": [10, 5],
+                                  "steps_per_phase": 600}},
+        }
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps(cfg))
+        opt = parse_config(str(p), debug=True,
+                           experiments_root=str(tmp_path / "exp"))
+        T = opt["model"]["beta_schedule"]["train"]["n_timestep"]
+        for n in opt["train"]["distill"]["phases"]:
+            assert T % (2 * n) == 0, (T, n)
+
     def test_presets_parse(self, tmp_path):
         import tmdiff_tpu.config as cfg_pkg
 

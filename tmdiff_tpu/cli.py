@@ -347,6 +347,7 @@ def _run(args, opt, stop):
         for n in phases:
             if stop["flag"]:
                 break
+            done_steps = 0
             d_trainer = DistillTrainer(
                 model=model, schedule=schedule, n_student_steps=n,
                 lr=float(d_opt.get("lr") or 1e-4), warmup_steps=20,
@@ -362,23 +363,40 @@ def _run(args, opt, stop):
                 batch, sensor = next(mixer)
                 emb = np.asarray(sharp.prompt_embedding(sensor))
                 p_state, m = d_trainer.train_step(p_state, batch, emb, t_dev)
+                done_steps = k + 1
                 if (k + 1) % print_freq == 0:
                     logger.info(f"distill N={n} step {k + 1} "
                                 f"l_distill: {float(m['l_pix']):.3e}")
+            # the phase EMA is teacher-seeded and barely moves over a short
+            # phase (0.9999^600 ≈ 94% teacher) — persist the STUDENT in both
+            # weight slots so --use-ema consumers can't silently deploy the
+            # teacher through a few-step sampler it was never distilled for
+            p_state = p_state.replace(ema_params=jax.tree.map(
+                lambda x: x.copy(), p_state.params))
+            if stop["flag"] and done_steps < steps_per_phase:
+                # preempted mid-phase: label the artifact as partial and skip
+                # validation (a multi-minute sampler compile has no place in
+                # the preemption grace window). Distill restarts re-run the
+                # chain from path.resume — the partial student is evidence,
+                # not a resume point.
+                path = ckpt_lib.save_checkpoint(
+                    os.path.join(opt["path"]["checkpoint"],
+                                 f"distill_N{n}_partial"),
+                    p_state,
+                )
+                logger.info(
+                    f"Preemption signal: phase N={n} stopped at step "
+                    f"{done_steps}/{steps_per_phase}; PARTIAL student "
+                    f"checkpointed to {path}, validation skipped")
+                break
             teacher = p_state.params
             path = ckpt_lib.save_checkpoint(
                 os.path.join(opt["path"]["checkpoint"], f"distill_N{n}"),
                 p_state,
             )
             logger.info(f"distill N={n} done -> {path}")
-            if stop["flag"]:
-                # preempted: the student is checkpointed — don't start a
-                # multi-minute validation compile inside the grace window
-                logger.info("Preemption signal: skipping phase validation")
-                break
-            # score the STUDENT params: the phase EMA is teacher-seeded and
-            # barely moves over a short phase (0.9999^600 ≈ 94% teacher), so
-            # use_ema_eval would silently grade the teacher instead
+            # score the STUDENT params (use_ema=False belt-and-braces even
+            # though ema_params now also hold the student)
             run_validation(p_state, method="ddim", steps=n, use_ema=False)
     else:
         logger.info("Begin Model Evaluation.")

@@ -87,6 +87,11 @@ def parse_config(
                 ds["batch_size"] = 2
         for sched in opt.get("model", {}).get("beta_schedule", {}).values():
             sched["n_timestep"] = 10
+        if isinstance(train.get("distill"), dict):
+            # keep the halving chain valid at the shrunk T=10
+            # (DistillTrainer requires T % 2N == 0): 5 -> 1
+            train["distill"]["phases"] = [5, 1]
+            train["distill"]["steps_per_phase"] = 2
 
     return to_nonedict(opt)
 

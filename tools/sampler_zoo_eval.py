@@ -29,7 +29,9 @@ def main(argv=None):
     p.add_argument("--root", default="/tmp/tmdiff_convergence")
     p.add_argument("--out", default="/tmp/sampler_zoo.json")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
-    p.add_argument("--timesteps", type=int, default=500)
+    p.add_argument("--timesteps", type=int, default=None,
+                   help="override; default reads the convergence run's own "
+                        "n_timestep (a mismatch scores silently wrong)")
     args = p.parse_args(argv)
 
     import jax
@@ -51,6 +53,8 @@ def main(argv=None):
     # here would crash restore for non-default channel_multiplier runs)
     cfg = json.load(open(os.path.join(args.root, "convergence.json")))
     channels = tuple(cfg["model"]["unet"]["channel_multiplier"])
+    if args.timesteps is None:
+        args.timesteps = int(cfg["model"]["beta_schedule"]["train"]["n_timestep"])
     model = WavBEST(channels=channels)
     sharp = Pansharpener(model, params=None, schedule_name="cosine",
                          n_timestep=args.timesteps)
