@@ -19,11 +19,17 @@ import numpy as np
 
 
 def pansharpen(url: str, pan: np.ndarray, ms: np.ndarray,
-               sensor: str = "QB", timeout: float = 600.0) -> np.ndarray:
-    """POST one image; returns the (bands, H, W) sharpened image in [0,1]."""
+               sensor: str = "QB", guidance: float = None,
+               timeout: float = 600.0) -> np.ndarray:
+    """POST one image; returns the (bands, H, W) sharpened image in [0,1].
+    `guidance` (dpm++_cfg servers only) sets the per-request CFG scale —
+    mixed scales co-batch server-side."""
     buf = io.BytesIO()
-    np.savez_compressed(buf, pan=np.asarray(pan, np.float32),
-                        ms=np.asarray(ms, np.float32), sensor=sensor)
+    fields = dict(pan=np.asarray(pan, np.float32),
+                  ms=np.asarray(ms, np.float32), sensor=sensor)
+    if guidance is not None:
+        fields["guidance"] = np.float32(guidance)
+    np.savez_compressed(buf, **fields)
     req = urllib.request.Request(
         f"{url.rstrip('/')}/v1/pansharpen", data=buf.getvalue(),
         method="POST", headers={"Content-Type": "application/octet-stream"},
@@ -38,6 +44,8 @@ def main():
     p.add_argument("--h5", required=True, help="PanCollection file (needs lms+pan)")
     p.add_argument("--index", type=int, default=0)
     p.add_argument("--sensor", default="QB")
+    p.add_argument("--guidance", type=float, default=None,
+                   help="per-request CFG scale (dpm++_cfg servers)")
     p.add_argument("--out", default="sr.npz")
     args = p.parse_args()
 
@@ -45,7 +53,8 @@ def main():
 
     ds = PanDataset(args.h5)
     batch = ds.batch(np.array([args.index]))
-    sr = pansharpen(args.url, batch["PAN"][0], batch["MS"][0], args.sensor)
+    sr = pansharpen(args.url, batch["PAN"][0], batch["MS"][0], args.sensor,
+                    guidance=args.guidance)
     np.savez_compressed(args.out, sr=sr)
     with urllib.request.urlopen(f"{args.url.rstrip('/')}/v1/stats") as r:
         print("server stats:", json.load(r))

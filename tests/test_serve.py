@@ -260,6 +260,18 @@ def test_http_server_round_trip(sharp):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
+
+        # guidance on a non-CFG deployment → 400 (loud, not silently
+        # ignored — the client must know its scale sweep did nothing)
+        buf = io.BytesIO()
+        np.savez(buf, pan=pan, ms=ms, sensor="QB",
+                 guidance=np.float32(2.0))
+        req = urllib.request.Request(
+            f"{base}/v1/pansharpen", data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "dpm++_cfg" in json.loads(ei.value.read())["error"]
     finally:
         server.shutdown()
         engine.shutdown()
