@@ -138,6 +138,32 @@ class TestPansharpener:
         assert not np.allclose(a, b), "guidance scale had no effect"
         np.testing.assert_array_equal(a, a2)
 
+    def test_sample_tiled(self, sharp):
+        """Scenes larger than the compiled tile: overlapping crops through
+        the normal sampler, feather-blended; a scene that fits one tile
+        reproduces sample() bitwise; an uneven grid (9 crops, tile_batch 4)
+        exercises the padded final chunk."""
+        sharpener, batch = sharp
+        big = make_arrays(n=2, bands=4, size=32)
+        big_batch = {"PAN": big["pan"], "MS": big["lms"]}
+        out = sharpener.sample_tiled(
+            big_batch, sensor="QB", tile=16, overlap=8, tile_batch=4,
+            method="regression", seed=3)
+        assert out.shape == big_batch["MS"].shape
+        assert np.isfinite(out).all()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # fits-one-tile case → exactly the plain sampler
+        small = sharpener.sample_tiled(batch, sensor="QB", tile=16,
+                                       method="regression", seed=3)
+        direct = sharpener.sample(batch, sensor="QB", method="regression",
+                                  seed=3)
+        np.testing.assert_array_equal(small, direct)
+        # one-long-dimension case (16x32): edge-pad path
+        half = {"PAN": big["pan"][:, :, :16, :], "MS": big["lms"][:, :, :16, :]}
+        out2 = sharpener.sample_tiled(half, sensor="QB", tile=16, overlap=8,
+                                      tile_batch=4, method="regression")
+        assert out2.shape == half["MS"].shape and np.isfinite(out2).all()
+
     def test_per_sample_guidance_vector(self, sharp):
         """A (B,) guidance vector applies each row's scale independently:
         row i of a mixed-scale batch equals row i of the same batch run at

@@ -223,3 +223,92 @@ class Pansharpener:
             final, frames = out
             return np.asarray(final), np.asarray(frames)
         return np.asarray(out)
+
+    def sample_tiled(
+        self,
+        batch: dict,
+        sensor="QB",
+        tile: int = 256,
+        overlap: int = 32,
+        tile_batch: int = 8,
+        **kw,
+    ):
+        """Pansharpen scenes LARGER than the compiled tile size.
+
+        The reference handles big scenes only offline (16→1 patch
+        merge/split utilities, `LRHR_dataset.py:28-53,136-178`); here the
+        scene is split into overlapping `tile`×`tile` crops, each crop runs
+        through the NORMAL compiled sampler (`tile_batch` crops per device
+        batch — one compiled program regardless of scene size), and crops
+        are blended with a separable linear feather over the overlap, then
+        normalised by the accumulated weights (scene borders come out
+        exactly). A scene that already fits one tile reproduces `sample()`
+        bitwise. Diffusion noise is drawn per-crop (seed folded by tile
+        index), so overlapping crops disagree only within the feathered
+        band — `overlap` ≥ the UNet's receptive-field halo keeps seams
+        below the sampler's own noise floor.
+        """
+        pan = np.asarray(batch["PAN"], np.float32)
+        ms = np.asarray(batch["MS"], np.float32)
+        B, C, H, W = ms.shape
+        if H <= tile and W <= tile:
+            return self.sample(batch, sensor=sensor, **kw)
+        if not 0 <= overlap < tile:
+            raise ValueError(f"need 0 <= overlap={overlap} < tile={tile}")
+        if H < tile or W < tile:
+            # one long dimension: edge-pad the short one up to a full tile,
+            # tile normally, crop back
+            padH, padW = max(0, tile - H), max(0, tile - W)
+            spec = ((0, 0), (0, 0), (0, padH), (0, padW))
+            full = self.sample_tiled(
+                {"PAN": np.pad(pan, spec, mode="edge"),
+                 "MS": np.pad(ms, spec, mode="edge")},
+                sensor=sensor, tile=tile, overlap=overlap,
+                tile_batch=tile_batch, **kw,
+            )
+            return full[:, :, :H, :W]
+
+        def starts(size):
+            if size <= tile:
+                return [0]
+            stride = tile - overlap
+            ss = list(range(0, size - tile, stride))
+            ss.append(size - tile)  # last tile flush with the border
+            return ss
+
+        ys, xs = starts(H), starts(W)
+        # separable feather: linear ramp over the overlap at each tile edge
+        ramp = np.minimum(np.arange(1, tile + 1),
+                          np.arange(tile, 0, -1)).astype(np.float32)
+        ramp = np.minimum(ramp, max(overlap, 1))
+        win = ramp[:, None] * ramp[None, :]  # (tile, tile)
+
+        out = np.zeros((B, C, H, W), np.float32)
+        wsum = np.zeros((H, W), np.float32)
+        crops = [(y, x) for y in ys for x in xs]
+        seed0 = int(kw.pop("seed", 0))
+        for c0 in range(0, len(crops), tile_batch):
+            chunk = crops[c0:c0 + tile_batch]
+            n_real = len(chunk)
+            if len(crops) > tile_batch and n_real < tile_batch:
+                # pad the final short chunk to the full device batch so the
+                # whole scene runs through ONE compiled program
+                chunk = chunk + [chunk[-1]] * (tile_batch - n_real)
+            pan_t = np.concatenate(
+                [pan[:, :, y:y + tile, x:x + tile] for y, x in chunk])
+            ms_t = np.concatenate(
+                [ms[:, :, y:y + tile, x:x + tile] for y, x in chunk])
+            sensors = (
+                sensor if isinstance(sensor, str)
+                else list(sensor) * len(chunk))
+            preds = self.sample(
+                {"PAN": pan_t, "MS": ms_t}, sensor=sensors,
+                seed=seed0 + c0, **kw,
+            )
+            for i, (y, x) in enumerate(chunk[:n_real]):
+                out[:, :, y:y + tile, x:x + tile] += (
+                    preds[i * B:(i + 1) * B] * win)
+            # weights are batch/channel-independent
+            for y, x in chunk[:n_real]:
+                wsum[y:y + tile, x:x + tile] += win
+        return out / wsum
