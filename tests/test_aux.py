@@ -180,6 +180,25 @@ class TestPansharpener:
         np.testing.assert_allclose(mixed[0], s15[0], atol=1e-6)
         np.testing.assert_allclose(mixed[1], s25[1], atol=1e-6)
 
+    def test_sample_tiled_per_sample_guidance(self, sharp):
+        """sample_tiled replicates a (B,) guidance vector per crop so the
+        stacked len(chunk)·B device batch sees each scene row's scale
+        (previously shape-errored at B>1); a wrong-length vector raises."""
+        sharpener, _ = sharp
+        big = make_arrays(n=2, bands=4, size=32)
+        big_batch = {"PAN": big["pan"], "MS": big["lms"]}
+        out = sharpener.sample_tiled(
+            big_batch, sensor="QB", tile=16, overlap=8, tile_batch=4,
+            method="dpm++_cfg", steps=4,
+            guidance=np.array([1.5, 2.5]), seed=3)
+        assert out.shape == big_batch["MS"].shape
+        assert np.isfinite(out).all()
+        with pytest.raises(ValueError, match="guidance"):
+            sharpener.sample_tiled(
+                big_batch, sensor="QB", tile=16, overlap=8, tile_batch=4,
+                method="dpm++_cfg", steps=4,
+                guidance=np.array([1.5, 2.5, 3.5]), seed=3)
+
 
 def test_ancestral_continuous_frames():
     """Reference `continous=True` mode: intermediate frames returned."""

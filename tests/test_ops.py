@@ -76,3 +76,79 @@ def test_modulated_equals_scaling(rng):
         for b in range(3)
     ]
     np.testing.assert_allclose(fused, jnp.concatenate(outs, 0), atol=1e-4)
+
+
+class TestBandedPallasConv3d:
+    """Fused band-banded Pallas kernel (ops/pallas/banded_conv3d.py) must be
+    bit-compatible (to fp32 accumulation tolerance) with the reference
+    lowering at every eligible shape, including tail tiles (d % tile_d != 0),
+    and differentiable via its XLA-twin custom VJP."""
+
+    @pytest.mark.parametrize(
+        "d,cin,cout",
+        [
+            (8, 4, 32),   # flagship outer level geometry: tile_d=4, 2 tiles
+            (6, 4, 32),   # tail tile: d_pad=8 > d
+            (8, 3, 64),   # tile_d=2, 4 tiles
+            (5, 2, 64),   # tile_d=2, tail
+            (3, 4, 64),   # d barely above tile_d
+        ],
+    )
+    def test_matches_reference(self, rng, d, cin, cout):
+        from tmdiff_tpu.ops.pallas.banded_conv3d import banded_conv3d, eligible
+
+        assert eligible(d, 3, 3, 3, 16, 8, cout)
+        x = jnp.asarray(rng.standard_normal((2, d, 16, 8, cin)), jnp.float32)
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+        np.testing.assert_allclose(
+            banded_conv3d(x, k), _conv3d_fold2d(x, k), atol=1e-4)
+
+    def test_eligibility_gate(self):
+        from tmdiff_tpu.ops.pallas.banded_conv3d import eligible
+
+        assert eligible(8, 3, 3, 3, 256, 256, 32)
+        assert eligible(8, 3, 3, 3, 128, 128, 64)
+        assert not eligible(8, 3, 3, 3, 64, 64, 128)  # no lane starvation
+        assert not eligible(4, 3, 3, 3, 256, 256, 32)  # tile_d == d
+        assert not eligible(8, 1, 1, 1, 256, 256, 32)  # 1-tap
+        assert not eligible(8, 3, 3, 3, 12, 256, 32)   # H % block_h
+        assert not eligible(8, 3, 3, 3, 256, 256, 48)  # 128 % cout
+
+    def test_conv3d_dispatch_and_fallback(self, rng, monkeypatch):
+        """TMDIFF_CONV3D_IMPL=banded routes eligible shapes through the
+        kernel and falls back to the auto rule elsewhere — model code never
+        has to care."""
+        from tmdiff_tpu.ops import modconv
+
+        monkeypatch.setattr(modconv, "CONV3D_IMPL", "banded")
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 8, 4)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 32)), jnp.float32)
+        np.testing.assert_allclose(
+            conv3d(x, k), _conv3d_fold2d(x, k), atol=1e-4)
+        # ineligible (1-tap) shape must not crash: auto fallback
+        k1 = jnp.asarray(rng.standard_normal((1, 1, 1, 4, 32)), jnp.float32)
+        np.testing.assert_allclose(
+            conv3d(x, k1), _conv3d_fold2d(x, k1), atol=1e-4)
+
+    def test_grad_matches_xla(self, rng):
+        """custom_vjp backward (XLA twin) == autodiff through the reference
+        lowering, for both x and kernel cotangents."""
+        import jax
+
+        from tmdiff_tpu.ops.pallas.banded_conv3d import banded_conv3d
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 2)), jnp.float32)
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 2, 32)) * 0.1, jnp.float32)
+
+        def loss_banded(x, k):
+            return (banded_conv3d(x, k) ** 2).sum()
+
+        def loss_ref(x, k):
+            return (_conv3d_fold2d(x, k) ** 2).sum()
+
+        gx, gk = jax.grad(loss_banded, argnums=(0, 1))(x, k)
+        rx, rk = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(gx, rx, rtol=2e-4, atol=1e-3)
+        np.testing.assert_allclose(gk, rk, rtol=2e-4, atol=1e-3)

@@ -340,10 +340,15 @@ def _run(args, opt, stop):
         phases = [int(n) for n in (d_opt.get("phases") or [10, 5])]
         steps_per_phase = int(d_opt.get("steps_per_phase") or 600)
         print_freq = train_opt.get("print_freq", 50)
-        teacher = state.params
+        # Distill from the weights the teacher checkpoint actually deploys:
+        # EMA when use_ema_eval (validation/serving use those), overridable
+        # per-config via distill.teacher = "ema"|"online".
+        teacher_kind = d_opt.get("teacher") or (
+            "ema" if train_opt.get("use_ema_eval") else "online")
+        teacher = state.ema_params if teacher_kind == "ema" else state.params
         logger.info(f"Begin progressive distillation: phases={phases} "
                     f"steps_per_phase={steps_per_phase} from step "
-                    f"{int(state.step)} teacher")
+                    f"{int(state.step)} {teacher_kind} teacher")
         for n in phases:
             if stop["flag"]:
                 break

@@ -87,11 +87,15 @@ def parse_config(
                 ds["batch_size"] = 2
         for sched in opt.get("model", {}).get("beta_schedule", {}).values():
             sched["n_timestep"] = 10
-        if isinstance(train.get("distill"), dict):
-            # keep the halving chain valid at the shrunk T=10
-            # (DistillTrainer requires T % 2N == 0): 5 -> 1
-            train["distill"]["phases"] = [5, 1]
-            train["distill"]["steps_per_phase"] = 2
+        # keep the halving chain valid at the shrunk T=10 (DistillTrainer
+        # requires T % 2N == 0): 5 -> 1. Created even when the config ships
+        # no distill block so `-p distill -debug` smokes instead of raising
+        # T=10 % 2N=20 against the CLI default phases [10, 5].
+        distill = train.get("distill")
+        if not isinstance(distill, dict):
+            distill = train["distill"] = {}
+        distill["phases"] = [5, 1]
+        distill["steps_per_phase"] = 2
 
     return to_nonedict(opt)
 

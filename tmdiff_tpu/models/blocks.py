@@ -3,7 +3,7 @@
 Activations are (B, D, H, W, C): D = spectral bands as conv depth, C = feature
 channels innermost (TPU lane dim). Module/param names mirror the reference
 classes (`/root/reference/GeneralModel/Hyper_unet_general.py`) so torch
-checkpoints transplant mechanically (see tools/transplant.py):
+checkpoints transplant mechanically (see utils/torch_import.py):
 
   reference                              here
   ───────────────────────────────────────────────────────────────

@@ -42,6 +42,11 @@ DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 #                 tile_d·Cout = 128 lanes, consuming tile_d+2 input bands
 #                 (halo) each: smaller FLOP blow-up (1.33× at Cout=64) at
 #                 still-full lanes. Wins only at 64 ≤ Cout < 128.
+#   "banded"    — fused Pallas kernel: the bandtiles math with the tile loop
+#                 INSIDE one kernel (ops/pallas/banded_conv3d.py) — no
+#                 per-tile concat/transpose, (tile_d+2)/kd× FLOPs. Not
+#                 SPMD-partitionable: single-device jit only (opt-in).
+#                 Falls back to the auto rule at ineligible shapes.
 #   "lax"       — XLA's native 3-D convolution.
 #   "auto"      — bandlanes where it wins (see `_bandlanes_wins`); fold2d for
 #                 1-tap convs (windowless — just a reshape + 1×1 2-D conv,
@@ -194,6 +199,14 @@ def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1))
     if padding == "SAME" and tuple(stride) == (1, 1, 1):
         impl = CONV3D_IMPL
         d, kd, cout = x.shape[1], kernel.shape[0], kernel.shape[-1]
+        if impl == "banded":
+            from tmdiff_tpu.ops.pallas import banded_conv3d as banded
+
+            kd_, kh, kw = kernel.shape[:3]
+            h, w = x.shape[2], x.shape[3]
+            if banded.eligible(d, kd_, kh, kw, h, w, cout):
+                return banded.banded_conv3d(x, kernel)
+            impl = "auto"  # ineligible shape: fall through to the auto rule
         if impl == "auto":
             if _bandlanes_wins(d, kd, cout):
                 # NOT bandtiles: in isolation it beats bandlanes 13% at

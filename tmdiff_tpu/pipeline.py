@@ -287,6 +287,16 @@ class Pansharpener:
         wsum = np.zeros((H, W), np.float32)
         crops = [(y, x) for y in ys for x in xs]
         seed0 = int(kw.pop("seed", 0))
+        # A per-sample (B,) guidance vector must follow the batch tiling:
+        # crops are stacked len(chunk)·B per device batch, so replicate the
+        # vector per crop (a scalar passes through untouched).
+        guidance = kw.pop("guidance", None)
+        per_sample_guidance = (
+            guidance is not None and np.ndim(guidance) > 0)
+        if per_sample_guidance and len(np.atleast_1d(guidance)) != B:
+            raise ValueError(
+                f"per-sample guidance has {len(np.atleast_1d(guidance))} "
+                f"entries but the scene batch is {B}")
         for c0 in range(0, len(crops), tile_batch):
             chunk = crops[c0:c0 + tile_batch]
             n_real = len(chunk)
@@ -301,9 +311,14 @@ class Pansharpener:
             sensors = (
                 sensor if isinstance(sensor, str)
                 else list(sensor) * len(chunk))
+            g_kw = {}
+            if guidance is not None:
+                g_kw["guidance"] = (
+                    np.tile(np.atleast_1d(guidance), len(chunk))
+                    if per_sample_guidance else guidance)
             preds = self.sample(
                 {"PAN": pan_t, "MS": ms_t}, sensor=sensors,
-                seed=seed0 + c0, **kw,
+                seed=seed0 + c0, **g_kw, **kw,
             )
             for i, (y, x) in enumerate(chunk[:n_real]):
                 out[:, :, y:y + tile, x:x + tile] += (

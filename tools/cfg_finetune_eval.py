@@ -131,6 +131,18 @@ def main(argv=None):
     ok = bool(usable)
     results["cfg_usable"] = ok
     results["usable_guidances"] = usable
+    # The serving CLI ships --guidance 3.0 as its default operating point
+    # (serve/__main__.py); record whether that default is in the usable set
+    # so a PASS here can't silently coexist with an over-extrapolating
+    # deployed default.
+    serve_default = 3.0
+    results["serve_default_guidance"] = serve_default
+    results["serve_default_usable"] = any(
+        float(g) == serve_default for g in usable)
+    if ok and not results["serve_default_usable"]:
+        print(f"WARNING: serve default guidance {serve_default} is NOT in "
+              f"the usable set {usable} — pass --guidance from the sweep "
+              f"when serving this checkpoint", flush=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print("RESULT", json.dumps(results), flush=True)
