@@ -20,7 +20,7 @@ import jax.lax as lax
 
 from tmdiff_tpu.ops.modconv import (
     _conv3d_bandlanes, _conv3d_bandtiles, _conv3d_fold2d)
-from tmdiff_tpu.ops.pallas.banded_conv3d import banded_conv3d
+from tmdiff_tpu.ops.pallas.banded_conv3d import banded_conv3d, banded_conv3d_v2
 
 log = open(os.environ.get("BENCH_LOG", "/dev/stdout"), "a")
 def P(*a):
@@ -59,13 +59,22 @@ lax3d = lambda x, k: lax.conv_general_dilated(
 for (B, D, H, W, C) in [(8, 8, 256, 256, 32), (8, 8, 128, 128, 64)]:
     tile_d = 128 // C
     infl_banded = (tile_d + 2) / 3 * (-(-D // tile_d) * tile_d / D)
-    bench("bandlanes", _conv3d_bandlanes, B, D, H, W, C, D / 3)
-    bench("bandtiles", lambda x, k: _conv3d_bandtiles(x, k, 128 // k.shape[-1]),
-          B, D, H, W, C, infl_banded)
-    for bh in (8, 16):
-        bench(f"banded-pallas bh{bh}",
-              lambda x, k, bh=bh: banded_conv3d(x, k, bh, False),
+    only = os.environ.get("TMDIFF_BENCH_ONLY")  # e.g. "v2": pallas-only rerun
+    if only != "v2":
+        bench("bandlanes", _conv3d_bandlanes, B, D, H, W, C, D / 3)
+        bench("bandtiles",
+              lambda x, k: _conv3d_bandtiles(x, k, 128 // k.shape[-1]),
               B, D, H, W, C, infl_banded)
+        for bh in (8, 16):
+            bench(f"banded-pallas bh{bh}",
+                  lambda x, k, bh=bh: banded_conv3d(x, k, bh, False),
+                  B, D, H, W, C, infl_banded)
+    for bh in (8, 16):
+        bench(f"banded-pallas-v2 bh{bh}",
+              lambda x, k, bh=bh: banded_conv3d_v2(x, k, bh, False),
+              B, D, H, W, C, infl_banded)
+    if only == "v2":
+        continue
     bench("lax native", lax3d, B, D, H, W, C, 1.0)
     bench("fold2d", _conv3d_fold2d, B, D, H, W, C, 1.0)
 P("done")

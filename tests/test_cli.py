@@ -79,8 +79,14 @@ def test_train_phase_end_to_end(workspace, monkeypatch):
     assert mats, ".mat artifacts not written"
     import scipy.io as scio
 
-    sr = scio.loadmat(str(mats[0]))["sr"]
+    mat = scio.loadmat(str(mats[0]))
+    sr = mat["sr"]
     assert sr.shape == (16, 16, 4)
+    # every eval artifact self-identifies its CLIP conditioning mode so
+    # placeholder-table outputs can't masquerade as real-CLIP results
+    from tmdiff_tpu.models.clip_text import clip_mode
+
+    assert str(mat["clip_mode"][0]) == clip_mode()
 
 
 def test_distill_phase_end_to_end(workspace, monkeypatch):

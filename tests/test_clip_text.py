@@ -75,3 +75,19 @@ def test_table_matches_live_encoder():
     table, _, is_real = clip_text.load_prompt_table()
     assert is_real, "a live encoder is available but the shipped table is fake"
     np.testing.assert_allclose(table, live, atol=1e-4)
+
+
+def test_clip_mode_marker(tmp_path):
+    """clip_mode() is the artifact stamp; save_mat embeds it in every .mat
+    so placeholder-conditioned eval outputs are self-identifying."""
+    import numpy as np
+    import scipy.io as scio
+
+    from tmdiff_tpu.utils.export import save_mat
+
+    mode = clip_text.clip_mode()
+    assert mode in ("placeholder-clip", "real-clip")
+    assert (mode == "real-clip") == clip_text.is_real_clip()
+    path = str(tmp_path / "out.mat")
+    save_mat(path, np.zeros((4, 4, 3), np.float32))
+    assert str(scio.loadmat(path)["clip_mode"][0]) == mode

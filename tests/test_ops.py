@@ -56,12 +56,15 @@ def test_bandlanes_heuristic():
     level — the measured-win rule from BASELINE.md's v5e A/B grid — and
     never where there's no lane gain (Cout ≥ 128) or no depth coupling."""
     assert _bandlanes_wins(d=8, kd=3, cout=32)
-    assert _bandlanes_wins(d=8, kd=3, cout=64)
     assert _bandlanes_wins(d=4, kd=3, cout=32)
     assert _bandlanes_wins(d=4, kd=3, cout=64)
     assert not _bandlanes_wins(d=8, kd=3, cout=128)
     assert not _bandlanes_wins(d=8, kd=1, cout=32)
     assert not _bandlanes_wins(d=1, kd=3, cout=32)
+    # r4: deep-band half-lane levels go native (isolated 5.09 vs 5.36 ms,
+    # headline 31.5 vs 30.0 steps/s — BASELINE.md r4 auto-rule A/B)
+    assert not _bandlanes_wins(d=8, kd=3, cout=64)
+    assert not _bandlanes_wins(d=16, kd=3, cout=64)
 
 
 def test_modulated_equals_scaling(rng):

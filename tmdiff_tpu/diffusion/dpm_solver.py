@@ -674,7 +674,8 @@ class DPMSolver:
                         t_end: Optional[float] = None,
                         h_init: float = 0.05, atol: float = 0.0078,
                         rtol: float = 0.05, theta: float = 0.9,
-                        t_err: float = 1e-5, max_loops: int = 500):
+                        t_err: float = 1e-5, max_loops: int = 500,
+                        return_stats: bool = False):
         """Adaptive step-size singlestep solver
         (`dpm_solver_adaptive:982-1044`): embedded order-(k−1)/k error
         estimate, step accepted when the rms of (x_hi−x_lo)/δ ≤ 1, logSNR
@@ -705,11 +706,11 @@ class DPMSolver:
             return x_lower, x_higher
 
         def cond(carry):
-            x, x_prev, s, h, n = carry
+            x, x_prev, s, h, n, n_acc = carry
             return (jnp.abs(s - t_0) > t_err) & (n < max_loops)
 
         def body(carry):
-            x, x_prev, s, h, n = carry
+            x, x_prev, s, h, n, n_acc = carry
             lambda_s = tsch.lam(s)
             t = tsch.inverse_lambda(lambda_s + h)
             x_lower, x_higher = lower_and_higher(x, s, t)
@@ -727,13 +728,17 @@ class DPMSolver:
             h = jnp.minimum(
                 theta * h * E ** (-1.0 / order), lambda_0 - tsch.lam(s)
             )
-            return x, x_prev, s, h, n + 1
+            return x, x_prev, s, h, n + 1, n_acc + accept.astype(jnp.int32)
 
         s0 = jnp.float32(t_T)
         h0 = jnp.float32(h_init)
-        x, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (x, x, s0, h0, jnp.int32(0))
+        x, _, _, _, n, n_acc = jax.lax.while_loop(
+            cond, body, (x, x, s0, h0, jnp.int32(0), jnp.int32(0))
         )
+        if return_stats:
+            # NFE = n·order model evals; accepted/attempted step counts are
+            # traced scalars — the benchmark row the r3 VERDICT asked for
+            return x, {"steps_attempted": n, "steps_accepted": n_acc}
         return x
 
     def _sample_multistep(self, x, steps, order, skip_type, t_T, t_0, lower_order_final):

@@ -118,9 +118,14 @@ def validate(
             if save_mat and result_dir:
                 import scipy.io as scio
 
+                from tmdiff_tpu.models.clip_text import clip_mode
+
+                # clip_mode stamps placeholder-conditioned outputs so they
+                # can never masquerade as real-CLIP results (clip_text.py)
                 scio.savemat(
                     os.path.join(result_dir, f"output_mulExm_{idx_out}.mat"),
-                    {"sr": pred_hwc * dataset.img_scale},
+                    {"sr": pred_hwc * dataset.img_scale,
+                     "clip_mode": clip_mode()},
                 )
             if not dataset.has_reference:
                 # FR set: no ground truth — no-reference quality indices

@@ -36,6 +36,11 @@ Export attempts (recorded per the parity protocol):
     mode), and README/PARITY carry no SAM/ERGAS-parity numbers. To close
     the gap on a networked machine:
     `python tools/export_clip_embeddings.py openai/clip-vit-large-patch14`.
+  * 2026-08-18 (r4): re-attempted — same OSError (no network, no cache).
+    Placeholder-mode is now additionally stamped into every eval artifact
+    (`clip_mode` key in .mat files and tool JSONs — `clip_mode()` below)
+    so downstream users cannot mistake placeholder-conditioned outputs for
+    real-CLIP ones.
 """
 from __future__ import annotations
 
@@ -149,6 +154,15 @@ def get_prompt_embedding(sensor: str) -> np.ndarray:
 
 def is_real_clip() -> bool:
     return load_prompt_table()[2]
+
+
+def clip_mode() -> str:
+    """Marker stamped into every eval artifact (.mat headers, tool JSONs):
+    'real-clip' when the shipped table came from the true
+    clip-vit-large-patch14 export, else 'placeholder-clip' — outputs
+    conditioned on the placeholder must never masquerade as
+    reference-fidelity results (see module docstring, r4 export attempt)."""
+    return "real-clip" if is_real_clip() else "placeholder-clip"
 
 
 def require_real_clip(context: str) -> None:

@@ -66,6 +66,15 @@ CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "auto")
 BANDLANES_CONV = os.environ.get("TMDIFF_BANDLANES_CONV", "xla")
 
 
+# Couts the auto rule routes to the native lax conv even where bandlanes'
+# win rule matches — A/B hook for per-level auto-rule experiments (e.g. the
+# r4 isolated grid measured native 5.09 vs bandlanes 5.36 ms at the 8-band
+# C=64 level). Comma-separated, e.g. TMDIFF_CONV3D_AUTO_NATIVE=64.
+AUTO_NATIVE_COUTS = frozenset(
+    int(c) for c in os.environ.get("TMDIFF_CONV3D_AUTO_NATIVE", "").split(",")
+    if c.strip())
+
+
 def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
     """Empirical win rule for the band-into-lanes lowering, from the v5e A/B
     grid in BASELINE.md: every lane-starved level (Cout < 128) wins — the
@@ -73,8 +82,14 @@ def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
     fold2d concat's HBM round-trip (measured 2.0×/1.2× @8-band and
     3.6×/1.9× @4-band for C=32/64). At Cout ≥ 128 there is no lane gain and
     the FLOP blow-up is a pure loss; 1-tap (kd=1) convs have no depth
-    coupling to amortise."""
-    return kd > 1 and d > 1 and cout < 128
+    coupling to amortise. r4 re-measure: at deep-band half-lane levels
+    (d ≥ 8 AND cout ≥ 64) XLA's native 3-D conv is now faster than paying
+    bandlanes' d/kd ≥ 2.67× inflation (isolated 5.09 vs 5.36 ms at
+    C64·D8@128²; full-model headline 31.5 vs 30.0 steps/s) — and it is the
+    SPMD-exact-everywhere lowering, so auto routes those levels native."""
+    return (kd > 1 and d > 1 and cout < 128
+            and not (d >= 8 and cout >= 64)
+            and cout not in AUTO_NATIVE_COUTS)
 
 
 def _conv3d_bandlanes(x: jax.Array, kernel: jax.Array):

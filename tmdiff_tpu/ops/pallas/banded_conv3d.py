@@ -166,6 +166,92 @@ def _forward(x, kernel, block_h, interpret):
     return out.transpose(0, 3, 1, 2, 4)
 
 
+def _kernel_v2(xm_ref, xh_ref, w_ref, o_ref, *, bh, w_out, tile_cout):
+    strip = jnp.concatenate([xm_ref[0, 0], xh_ref[0, 0, 0]], axis=0)
+    acc = jnp.zeros((bh * w_out, tile_cout), jnp.float32)
+    for dy in range(3):
+        rows = strip[dy : dy + bh]
+        for dx in range(3):
+            patch = rows[:, dx : dx + w_out, :].reshape(bh * w_out, -1)
+            acc = acc + jax.lax.dot(
+                patch, w_ref[dy, dx], preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(bh, w_out, tile_cout).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def banded_conv3d_v2(x: jax.Array, kernel: jax.Array,
+                     block_h: int = 8, interpret: bool | None = None):
+    """Variant: per-tile input slabs pre-gathered OUTSIDE the kernel (an XLA
+    lane-slice stack, span/tile_d ≈ 1.5× input HBM traffic) so the kernel
+    body is a dense 9-matmul strip conv with no in-kernel lane slicing —
+    the v1 A/B showed Mosaic lane-shift relayouts dominating. Grid is
+    (batch, band_tile, strip); each program writes one 128-lane output tile.
+    """
+    return _forward_v2(x, kernel, block_h, interpret)
+
+
+def _forward_v2(x, kernel, block_h, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d, h, w, c = x.shape
+    kd, kh, kw, cin, cout = kernel.shape
+    assert eligible(d, kd, kh, kw, h, w, cout, block_h), (
+        "shape not eligible for the banded kernel; route via ops.modconv")
+    pad = kd // 2
+    tile_d = 128 // cout
+    n_tiles = -(-d // tile_d)
+    d_pad = n_tiles * tile_d
+    span = tile_d + 2 * pad
+    xt = x.transpose(0, 2, 3, 1, 4)
+    xt = jnp.pad(xt, ((0, 0), (1, 1), (1, 1),
+                      (pad, d_pad - d + pad), (0, 0)))
+    xp = xt.reshape(b, h + 2, w + 2, (d_pad + 2 * pad) * cin)
+    sc = span * cin
+    # (B, n_tiles, H+2, W+2, span·Cin): tile t's slab = lanes [t·tile_d·Cin,
+    # +span·Cin) — overlapping windows, hence the explicit gather
+    slabs = jnp.stack(
+        [xp[..., t * tile_d * cin : t * tile_d * cin + sc]
+         for t in range(n_tiles)], axis=1)
+
+    bh = block_h
+    n_strips = h // bh
+    rows_after = jnp.pad(
+        slabs[:, :, bh:], ((0, 0), (0, 0), (0, bh - 2), (0, 0), (0, 0)))
+    halo = rows_after.reshape(b, n_tiles, n_strips, bh, w + 2, sc)[:, :, :, :2]
+
+    wt = _banded_weight(kernel, tile_d).astype(x.dtype)
+    tc = tile_d * cout
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, bh=bh, w_out=w, tile_cout=tc),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, d_pad * cout), x.dtype),
+        grid=(b, n_tiles, n_strips),
+        in_specs=[
+            pl.BlockSpec((1, 1, bh, w + 2, sc),
+                         lambda i, t, j: (i, t, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 2, w + 2, sc),
+                         lambda i, t, j: (i, t, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, kw, sc, tc), lambda i, t, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, tc),
+                               lambda i, t, j: (i, j, 0, t),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slabs, halo, wt)
+    out = out.reshape(b, h, w, d_pad, cout)[:, :, :, :d]
+    return out.transpose(0, 3, 1, 2, 4)
+
+
+def _fwd_v2(x, kernel, block_h, interpret):
+    return _forward_v2(x, kernel, block_h, interpret), (x, kernel)
+
+
 def _reference(x, kernel):
     """XLA twin used for the backward pass (same math, autodiff-friendly)."""
     return lax.conv_general_dilated(
@@ -185,3 +271,4 @@ def _bwd(block_h, interpret, res, g):
 
 
 banded_conv3d.defvjp(_fwd, _bwd)
+banded_conv3d_v2.defvjp(_fwd_v2, _bwd)

@@ -56,7 +56,10 @@ def export_h5_to_png(
 
 def save_mat(path: str, sr_hwc: np.ndarray, img_scale: float = 1.0):
     """Val-loop artifact: {"sr": (H, W, C) × scale}
-    (`general_…finetune.py:141-142`)."""
+    (`general_…finetune.py:141-142`), stamped with the CLIP-conditioning
+    mode so placeholder-table outputs are self-identifying."""
     import scipy.io as scio
 
-    scio.savemat(path, {"sr": sr_hwc * img_scale})
+    from tmdiff_tpu.models.clip_text import clip_mode
+
+    scio.savemat(path, {"sr": sr_hwc * img_scale, "clip_mode": clip_mode()})

@@ -98,6 +98,8 @@ def main(argv=None):
         return {k: round(v, 4) for k, v in vals.items()}
 
     results = {"step": int(state.step), "p_uncond": args.p_uncond}
+    from tmdiff_tpu.models.clip_text import clip_mode
+    results["clip_mode"] = clip_mode()
     for sensor, ds in val_sets.items():
         idx = np.arange(len(ds))
         batch = ds.batch(idx)

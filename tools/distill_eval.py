@@ -109,6 +109,9 @@ def main(argv=None):
     results = {"config": {"channels": channels, "phases": args.phases,
                           "steps_per_phase": args.steps_per_phase,
                           "timesteps": args.timesteps}}
+    from tmdiff_tpu.models.clip_text import clip_mode
+    
+    results["clip_mode"] = clip_mode()
     for sensor, ds in val_sets.items():
         results[f"lms_{sensor}"] = score(
             ds, [ds[i]["MS"] for i in range(len(ds))])

@@ -109,6 +109,8 @@ def main(argv=None):
     }
 
     results = {"step": int(state.step)}
+    from tmdiff_tpu.models.clip_text import clip_mode
+    results["clip_mode"] = clip_mode()
     for sensor, ds in val_sets.items():
         idx = np.arange(len(ds))
         batch = ds.batch(idx)

@@ -146,6 +146,9 @@ def main(argv=None):
 
     results = {"config": {"channels": channels, "steps": args.steps,
                           "size": args.size, "timesteps": args.timesteps}}
+    from tmdiff_tpu.models.clip_text import clip_mode
+    
+    results["clip_mode"] = clip_mode()
 
     # baselines: lms identity (sampled pred := LMS, i.e. Res := 0) and the
     # UNTRAINED model through the actual sampler
