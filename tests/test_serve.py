@@ -275,3 +275,42 @@ def test_http_server_round_trip(sharp):
     finally:
         server.shutdown()
         engine.shutdown()
+
+
+def test_serve_preset_supplies_deployment_defaults(tmp_path, monkeypatch):
+    """config/presets/serve_lowlatency.json is the documented low-latency
+    4-band path: its "serve" block becomes the CLI's defaults (sampler=ddim
+    steps=1 bf16 ema), while explicit flags still win."""
+    import argparse
+    import os
+
+    from tmdiff_tpu.config import parse_config
+    from tmdiff_tpu.serve.__main__ import apply_serve_defaults
+
+    preset = os.path.join(
+        os.path.dirname(__file__), "..", "tmdiff_tpu", "config", "presets",
+        "serve_lowlatency.json")
+    monkeypatch.chdir(tmp_path)  # parse_config creates the experiments tree
+    opt = parse_config(preset, phase="val")
+    assert int(opt["serve_bands"]) == 4
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--sampler", default="dpm++")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--max-delay-ms", type=float, default=15.0)
+    p.add_argument("--warmup", default=None)
+
+    args = p.parse_args([])
+    apply_serve_defaults(args, opt, p, [])
+    assert (args.sampler, args.steps) == ("ddim", 1)
+    assert args.bf16 and args.use_ema
+    assert args.max_delay_ms == 5.0 and args.warmup == "4,256,256"
+
+    # explicit flags beat the preset
+    argv = ["--sampler", "dpm++", "--steps", "20"]
+    args = p.parse_args(argv)
+    apply_serve_defaults(args, opt, p, argv)
+    assert (args.sampler, args.steps) == ("dpm++", 20)
+    assert args.bf16  # untouched flags still come from the preset

@@ -14,6 +14,23 @@ import argparse
 import os
 
 
+def apply_serve_defaults(args, opt, parser, argv) -> None:
+    """Overlay the config's "serve" block onto argparse defaults: a preset
+    (e.g. config/presets/serve_lowlatency.json) IS the deployment recipe —
+    sampler/steps/bf16/warmup ride the config, while any flag the operator
+    passes explicitly on the command line still wins (detected by option
+    string in argv, so even an explicit flag set to its default sticks)."""
+    explicit = set()
+    given = {a.split("=", 1)[0] for a in (argv or []) if a.startswith("-")}
+    for action in parser._actions:
+        if any(s in given for s in action.option_strings):
+            explicit.add(action.dest)
+    for key, val in (opt.get("serve") or {}).items():
+        dest = str(key).replace("-", "_")
+        if hasattr(args, dest) and dest not in explicit:
+            setattr(args, dest, val)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
@@ -44,6 +61,9 @@ def main(argv=None):
                    help="shard image height over this many devices; the rest "
                         "go to the 'data' axis (default: all devices on data)")
     args = p.parse_args(argv)
+    import sys as _sys
+
+    _argv = argv if argv is not None else _sys.argv[1:]
 
     import numpy as np
 
@@ -58,6 +78,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     opt = parse_config(args.config, phase="val")
+    apply_serve_defaults(args, opt, p, _argv)
     sched_opt = opt["model"]["beta_schedule"]["val"]
     channels = tuple(opt["model"]["unet"]["channel_multiplier"] or (32, 64, 128, 256))
     model = WavBEST(channels=channels,
