@@ -87,6 +87,7 @@ class TestBandedPallasConv3d:
     lowering at every eligible shape, including tail tiles (d % tile_d != 0),
     and differentiable via its XLA-twin custom VJP."""
 
+    @pytest.mark.parametrize("variant", ["v1", "v2"])
     @pytest.mark.parametrize(
         "d,cin,cout",
         [
@@ -97,15 +98,16 @@ class TestBandedPallasConv3d:
             (3, 4, 64),   # d barely above tile_d
         ],
     )
-    def test_matches_reference(self, rng, d, cin, cout):
-        from tmdiff_tpu.ops.pallas.banded_conv3d import banded_conv3d, eligible
+    def test_matches_reference(self, rng, d, cin, cout, variant):
+        from tmdiff_tpu.ops.pallas import banded_conv3d as mod
 
-        assert eligible(d, 3, 3, 3, 16, 8, cout)
+        fn = mod.banded_conv3d if variant == "v1" else mod.banded_conv3d_v2
+        assert mod.eligible(d, 3, 3, 3, 16, 8, cout)
         x = jnp.asarray(rng.standard_normal((2, d, 16, 8, cin)), jnp.float32)
         k = jnp.asarray(
             rng.standard_normal((3, 3, 3, cin, cout)) * 0.1, jnp.float32)
         np.testing.assert_allclose(
-            banded_conv3d(x, k), _conv3d_fold2d(x, k), atol=1e-4)
+            fn(x, k), _conv3d_fold2d(x, k), atol=1e-4)
 
     def test_eligibility_gate(self):
         from tmdiff_tpu.ops.pallas.banded_conv3d import eligible
@@ -134,19 +136,21 @@ class TestBandedPallasConv3d:
         np.testing.assert_allclose(
             conv3d(x, k1), _conv3d_fold2d(x, k1), atol=1e-4)
 
-    def test_grad_matches_xla(self, rng):
+    @pytest.mark.parametrize("variant", ["v1", "v2"])
+    def test_grad_matches_xla(self, rng, variant):
         """custom_vjp backward (XLA twin) == autodiff through the reference
         lowering, for both x and kernel cotangents."""
         import jax
 
-        from tmdiff_tpu.ops.pallas.banded_conv3d import banded_conv3d
+        from tmdiff_tpu.ops.pallas import banded_conv3d as mod
 
+        fn = mod.banded_conv3d if variant == "v1" else mod.banded_conv3d_v2
         x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 2)), jnp.float32)
         k = jnp.asarray(
             rng.standard_normal((3, 3, 3, 2, 32)) * 0.1, jnp.float32)
 
         def loss_banded(x, k):
-            return (banded_conv3d(x, k) ** 2).sum()
+            return (fn(x, k) ** 2).sum()
 
         def loss_ref(x, k):
             return (_conv3d_fold2d(x, k) ** 2).sum()

@@ -345,6 +345,10 @@ def _run(args, opt, stop):
         # per-config via distill.teacher = "ema"|"online".
         teacher_kind = d_opt.get("teacher") or (
             "ema" if train_opt.get("use_ema_eval") else "online")
+        if teacher_kind not in ("ema", "online"):
+            raise ValueError(
+                f"train.distill.teacher must be 'ema' or 'online', got "
+                f"{teacher_kind!r}")
         teacher = state.ema_params if teacher_kind == "ema" else state.params
         logger.info(f"Begin progressive distillation: phases={phases} "
                     f"steps_per_phase={steps_per_phase} from step "

@@ -116,17 +116,11 @@ def validate(
             pred_hwc = np.transpose(preds[b], (1, 2, 0))
             gt_hwc = np.transpose(batch["HR"][b], (1, 2, 0))
             if save_mat and result_dir:
-                import scipy.io as scio
+                from tmdiff_tpu.utils.export import save_mat as _write_mat
 
-                from tmdiff_tpu.models.clip_text import clip_mode
-
-                # clip_mode stamps placeholder-conditioned outputs so they
-                # can never masquerade as real-CLIP results (clip_text.py)
-                scio.savemat(
+                _write_mat(
                     os.path.join(result_dir, f"output_mulExm_{idx_out}.mat"),
-                    {"sr": pred_hwc * dataset.img_scale,
-                     "clip_mode": clip_mode()},
-                )
+                    pred_hwc, img_scale=dataset.img_scale)
             if not dataset.has_reference:
                 # FR set: no ground truth — no-reference quality indices
                 # against the original low-res MS and the PAN.

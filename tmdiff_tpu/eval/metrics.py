@@ -258,3 +258,27 @@ def evaluate_fr(l_ms: np.ndarray, pan: np.ndarray, pred: np.ndarray) -> dict:
         "sf": sf(pred),
         "sd": sd(pred),
     }
+
+
+def mean_scores(gts_chw, preds_chw, round_to: int | None = None) -> dict:
+    """Mean SAM/ERGAS/SSIM over a prediction set — THE shared scoring loop
+    for every eval tool (tools/{sampler_zoo,distill,cfg_finetune}_eval.py,
+    train_convergence.py, reference_headtohead.py), so the metric
+    conventions (SAM(pred, gt), ERGAS(gt, pred) with ps-mean normalisation,
+    clip-to-[0,1], CHW→HWC) can never drift between tools whose numbers are
+    compared side by side.
+
+    gts_chw / preds_chw: equal-length sequences of (C, H, W) arrays in
+    [0, 1] model space."""
+    n = len(preds_chw)
+    assert len(gts_chw) == n, (len(gts_chw), n)
+    vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
+    for gt_c, pr_c in zip(gts_chw, preds_chw):
+        gt = np.transpose(np.asarray(gt_c), (1, 2, 0))
+        pr = np.clip(np.transpose(np.asarray(pr_c), (1, 2, 0)), 0, 1)
+        vals["sam"] += sam(pr, gt) / n
+        vals["ergas"] += ergas(gt, pr) / n
+        vals["ssim"] += ssim(pr, gt, 1.0) / n
+    if round_to is not None:
+        return {k: round(v, round_to) for k, v in vals.items()}
+    return vals

@@ -44,6 +44,7 @@ Export attempts (recorded per the parity protocol):
 """
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 
@@ -133,8 +134,15 @@ def _placeholder_embedding(sensor: str) -> np.ndarray:
     return (vec / np.linalg.norm(vec) * np.sqrt(EMBED_DIM)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=1)
 def load_prompt_table() -> tuple[np.ndarray, dict[str, int], bool]:
-    """Returns (table (S, 768), sensor→row index, is_real_clip)."""
+    """Returns (table (S, 768), sensor→row index, is_real_clip).
+
+    Cached: clip_mode() is stamped into every saved .mat artifact, so a
+    validation pass would otherwise re-read the npz (or regenerate the
+    placeholder table) once per image. Callers must not mutate the returned
+    arrays; after tools/export_clip_embeddings.py rewrites the npz, a new
+    process (or `load_prompt_table.cache_clear()`) picks it up."""
     index = {s: i for i, s in enumerate(SENSORS)}
     if os.path.exists(_TABLE_PATH):
         data = np.load(_TABLE_PATH)

@@ -61,6 +61,29 @@ DIMENSION_NUMBERS_2D = ("NHWC", "HWIO", "NHWC")
 # Same math in all cases. Selectable for benchmarking.
 CONV3D_IMPL = os.environ.get("TMDIFF_CONV3D_IMPL", "auto")
 
+# Global-override impls that are NOT SPMD-exact on a >1-device mesh:
+# `banded` is an opaque pallas_call the sharding propagator can't partition;
+# `bandtiles`/`fold2d` force the multi-tap depth-shift concat everywhere,
+# which mis-partitions under a sharded mesh (the auto rule restricts fold2d
+# to 1-tap convs for exactly this reason — DESIGN.md, tests/test_parallel.py
+# SPMD-exactness pins).
+_SPMD_UNSAFE_IMPLS = ("banded", "bandtiles", "fold2d")
+
+
+def check_spmd_lowering(mesh) -> None:
+    """Fail fast when a multi-device mesh meets an SPMD-unsafe conv-lowering
+    override (e.g. TMDIFF_CONV3D_IMPL=banded left over from a single-chip
+    bench shell). Called by Trainer/Pansharpener when they adopt a mesh, so
+    the error names the env var instead of surfacing as a partitioner
+    failure (or silently wrong numerics) deep inside compile."""
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return
+    if CONV3D_IMPL in _SPMD_UNSAFE_IMPLS:
+        raise ValueError(
+            f"TMDIFF_CONV3D_IMPL={CONV3D_IMPL!r} is not SPMD-exact and the "
+            f"mesh spans {mesh.size} devices — unset it (or use "
+            f"'auto'/'bandlanes'/'lax') for multi-device runs")
+
 # Backend for the band-into-lanes 3×3 conv: "xla" (conv_general_dilated) or
 # "pallas" (ops/pallas/conv2d.py halo-strip kernel).
 BANDLANES_CONV = os.environ.get("TMDIFF_BANDLANES_CONV", "xla")

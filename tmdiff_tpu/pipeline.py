@@ -62,6 +62,9 @@ class Pansharpener:
         self.prompt_index = index
         self._compiled: dict = {}
         self._replicated_params = None  # lazy device_put cache (mesh mode)
+        from tmdiff_tpu.ops.modconv import check_spmd_lowering
+
+        check_spmd_lowering(self.mesh)
 
     def prompt_embedding(self, sensor):
         """(768,) for one sensor name, or (B, 768) for a sequence of names —

@@ -13,22 +13,50 @@ from __future__ import annotations
 import argparse
 import os
 
+# The deployed default CFG scale. tools/cfg_finetune_eval.py validates this
+# exact value against the measured usable-guidance set — read it from here
+# so the eval can never drift from what the server actually deploys.
+SERVE_GUIDANCE_DEFAULT = 3.0
+
 
 def apply_serve_defaults(args, opt, parser, argv) -> None:
     """Overlay the config's "serve" block onto argparse defaults: a preset
     (e.g. config/presets/serve_lowlatency.json) IS the deployment recipe —
     sampler/steps/bf16/warmup ride the config, while any flag the operator
     passes explicitly on the command line still wins (detected by option
-    string in argv, so even an explicit flag set to its default sticks)."""
-    explicit = set()
+    string in argv, so even an explicit flag set to its default sticks).
+    Preset values go through the same type/choices validation CLI tokens get."""
     given = {a.split("=", 1)[0] for a in (argv or []) if a.startswith("-")}
+    explicit = set()
     for action in parser._actions:
-        if any(s in given for s in action.option_strings):
+        # argparse accepts unambiguous prefixes of long options
+        # (--step parses as --steps), so match by prefix, not equality
+        if any(g == s or (g.startswith("--") and len(g) > 2
+                          and s.startswith(g))
+               for s in action.option_strings for g in given):
             explicit.add(action.dest)
+    by_dest = {a.dest: a for a in parser._actions}
     for key, val in (opt.get("serve") or {}).items():
         dest = str(key).replace("-", "_")
-        if hasattr(args, dest) and dest not in explicit:
-            setattr(args, dest, val)
+        if not hasattr(args, dest):
+            continue
+        if dest in explicit:
+            continue
+        action = by_dest.get(dest)
+        if action is not None and action.type is not None and val is not None:
+            if isinstance(val, bool):
+                parser.error(f"config serve.{key}: expected "
+                             f"{getattr(action.type, '__name__', action.type)},"
+                             f" got a bool")
+            try:
+                val = action.type(val)
+            except (TypeError, ValueError) as e:
+                parser.error(f"config serve.{key}: {e}")
+        if (action is not None and action.choices is not None
+                and val not in action.choices):
+            parser.error(f"config serve.{key}: invalid choice {val!r} "
+                         f"(choose from {list(action.choices)})")
+        setattr(args, dest, val)
 
 
 def main(argv=None):
@@ -43,18 +71,22 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="sampler step count (e.g. a distilled few-NFE ddim "
                         "deployment: --sampler ddim --steps 1)")
-    p.add_argument("--guidance", type=float, default=3.0,
+    p.add_argument("--guidance", type=float, default=SERVE_GUIDANCE_DEFAULT,
                    help="default CFG scale for --sampler dpm++_cfg; requests "
                         "may override per-call via the 'guidance' field")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-delay-ms", type=float, default=15.0)
     p.add_argument("--max-queue", type=int, default=64,
                    help="pending-request bound; excess requests get 503")
-    p.add_argument("--use-ema", action="store_true",
-                   help="serve EMA weights instead of online weights")
-    p.add_argument("--bf16", action="store_true",
+    p.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="serve EMA weights instead of online weights "
+                        "(--no-use-ema overrides a preset that enables it)")
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="run the denoiser in bfloat16 (+~27%% throughput on "
-                        "v5e, BASELINE.md sampling study)")
+                        "v5e, BASELINE.md sampling study); --no-bf16 "
+                        "overrides a preset that enables it")
     p.add_argument("--warmup", default=None,
                    help="bands,H,W to precompile before binding the port")
     p.add_argument("--mesh-space", type=int, default=1,

@@ -92,6 +92,9 @@ class Trainer:
         self.tx = optax.chain(*chain)
         if self.mesh is None:
             self.mesh = mesh_lib.make_mesh()
+        from tmdiff_tpu.ops.modconv import check_spmd_lowering
+
+        check_spmd_lowering(self.mesh)
         self._jit_step = None
 
     # -- state ---------------------------------------------------------------

@@ -87,15 +87,8 @@ def main(argv=None):
     print(f"restored fine-tuned step {int(state.step)}", flush=True)
 
     def score(ds, preds):
-        vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
-        n = len(preds)
-        for i in range(n):
-            gt = np.transpose(ds[i]["HR"], (1, 2, 0))
-            pr = np.clip(np.transpose(preds[i], (1, 2, 0)), 0, 1)
-            vals["sam"] += M.sam(pr, gt) / n
-            vals["ergas"] += M.ergas(gt, pr) / n
-            vals["ssim"] += M.ssim(pr, gt, 1.0) / n
-        return {k: round(v, 4) for k, v in vals.items()}
+        gts = [ds[i]["HR"] for i in range(len(preds))]
+        return M.mean_scores(gts, preds, round_to=4)
 
     results = {"step": int(state.step), "p_uncond": args.p_uncond}
     from tmdiff_tpu.models.clip_text import clip_mode
@@ -133,11 +126,13 @@ def main(argv=None):
     ok = bool(usable)
     results["cfg_usable"] = ok
     results["usable_guidances"] = usable
-    # The serving CLI ships --guidance 3.0 as its default operating point
-    # (serve/__main__.py); record whether that default is in the usable set
-    # so a PASS here can't silently coexist with an over-extrapolating
-    # deployed default.
-    serve_default = 3.0
+    # The serving CLI ships a default CFG operating point
+    # (serve/__main__.py SERVE_GUIDANCE_DEFAULT); read it from there — not a
+    # copy — and record whether it is in the usable set so a PASS here can't
+    # silently coexist with an over-extrapolating deployed default.
+    from tmdiff_tpu.serve.__main__ import SERVE_GUIDANCE_DEFAULT
+
+    serve_default = SERVE_GUIDANCE_DEFAULT
     results["serve_default_guidance"] = serve_default
     results["serve_default_usable"] = any(
         float(g) == serve_default for g in usable)

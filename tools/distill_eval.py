@@ -86,14 +86,8 @@ def main(argv=None):
     print(f"teacher: {base_ckpt}", flush=True)
 
     def score(ds, preds):
-        vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
-        for i in range(len(preds)):
-            gt = np.transpose(ds[i]["HR"], (1, 2, 0))
-            pr = np.clip(np.transpose(preds[i], (1, 2, 0)), 0, 1)
-            vals["sam"] += M.sam(pr, gt) / len(preds)
-            vals["ergas"] += M.ergas(gt, pr) / len(preds)
-            vals["ssim"] += M.ssim(pr, gt, 1.0) / len(preds)
-        return {k: round(v, 4) for k, v in vals.items()}
+        gts = [ds[i]["HR"] for i in range(len(preds))]
+        return M.mean_scores(gts, preds, round_to=4)
 
     def score_sampler(tag, params, method, **kw):
         for sensor, ds in val_sets.items():

@@ -217,15 +217,7 @@ def main(argv=None):
     from tmdiff_tpu.eval import metrics as M
 
     def score(gt_b, pred_b):
-        vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
-        n = len(pred_b)
-        for i in range(n):
-            gt = np.transpose(gt_b[i], (1, 2, 0))
-            pr = np.clip(np.transpose(pred_b[i], (1, 2, 0)), 0, 1)
-            vals["sam"] += M.sam(pr, gt) / n
-            vals["ergas"] += M.ergas(gt, pr) / n
-            vals["ssim"] += M.ssim(pr, gt, 1.0) / n
-        return vals
+        return M.mean_scores(gt_b, pred_b)
 
     diffusion.eval()
     results = {"config": {"channels": channels, "steps": args.steps,

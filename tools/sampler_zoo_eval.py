@@ -75,15 +75,8 @@ def main(argv=None):
     print(f"restored step {int(state.step)} from {ckpt_dir}", flush=True)
 
     def score(ds, preds):
-        vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
-        n = len(preds)
-        for i in range(n):
-            gt = np.transpose(ds[i]["HR"], (1, 2, 0))
-            pr = np.clip(np.transpose(preds[i], (1, 2, 0)), 0, 1)
-            vals["sam"] += M.sam(pr, gt) / n
-            vals["ergas"] += M.ergas(gt, pr) / n
-            vals["ssim"] += M.ssim(pr, gt, 1.0) / n
-        return {k: round(v, 4) for k, v in vals.items()}
+        gts = [ds[i]["HR"] for i in range(len(preds))]
+        return M.mean_scores(gts, preds, round_to=4)
 
     # Pansharpener method map (pipeline.py::_build): "dpm++" = the
     # reference-default recipe (30-step singlestep order-3 logSNR +

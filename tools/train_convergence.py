@@ -107,15 +107,8 @@ def main(argv=None):
     from tmdiff_tpu.eval import metrics as M
 
     def score_preds(ds, preds):
-        vals = {"sam": 0.0, "ergas": 0.0, "ssim": 0.0}
-        n = len(preds)
-        for i in range(n):
-            gt = np.transpose(ds[i]["HR"], (1, 2, 0))
-            pr = np.clip(np.transpose(preds[i], (1, 2, 0)), 0, 1)
-            vals["sam"] += M.sam(pr, gt) / n
-            vals["ergas"] += M.ergas(gt, pr) / n
-            vals["ssim"] += M.ssim(pr, gt, 1.0) / n
-        return vals
+        gts = [ds[i]["HR"] for i in range(len(preds))]
+        return M.mean_scores(gts, preds)
 
     def sample_all(sharp, ds, sensor, params):
         out = []
