@@ -314,3 +314,60 @@ def test_serve_preset_supplies_deployment_defaults(tmp_path, monkeypatch):
     apply_serve_defaults(args, opt, p, argv)
     assert (args.sampler, args.steps) == ("dpm++", 20)
     assert args.bf16  # untouched flags still come from the preset
+
+
+def test_serve_preset_overlay_hardening():
+    """The overlay honours argparse prefix abbreviations as explicit flags,
+    lets --no- boolean forms beat a preset that enables them, and validates
+    preset values through the action's type/choices like CLI tokens."""
+    import argparse
+
+    from tmdiff_tpu.serve.__main__ import apply_serve_defaults
+
+    def mkparser():
+        p = argparse.ArgumentParser()
+        p.add_argument("--sampler", default="dpm++",
+                       choices=["dpm++", "ddim", "dpm++_cfg"])
+        p.add_argument("--steps", type=int, default=None)
+        p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                       default=False)
+        p.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                       default=False)
+        return p
+
+    opt = {"serve": {"sampler": "ddim", "steps": 1, "bf16": True,
+                     "use_ema": True}}
+
+    # --step abbreviates --steps: must count as explicit, not be overwritten
+    p = mkparser()
+    argv = ["--step", "20"]
+    args = p.parse_args(argv)
+    apply_serve_defaults(args, opt, p, argv)
+    assert args.steps == 20 and args.sampler == "ddim"
+
+    # --no-bf16 turns a preset-enabled boolean back off
+    p = mkparser()
+    argv = ["--no-bf16"]
+    args = p.parse_args(argv)
+    apply_serve_defaults(args, opt, p, argv)
+    assert args.bf16 is False and args.use_ema is True
+
+    # preset values are validated (type) and coerced like CLI tokens
+    p = mkparser()
+    args = p.parse_args([])
+    apply_serve_defaults(args, {"serve": {"steps": "20"}}, p, [])
+    assert args.steps == 20 and isinstance(args.steps, int)
+    p = mkparser()
+    args = p.parse_args([])
+    with pytest.raises(SystemExit):
+        apply_serve_defaults(args, {"serve": {"steps": "twenty"}}, p, [])
+    # ...and against choices
+    p = mkparser()
+    args = p.parse_args([])
+    with pytest.raises(SystemExit):
+        apply_serve_defaults(args, {"serve": {"sampler": "dimm"}}, p, [])
+    # a bool where a float/int is expected is rejected, not silently kept
+    p = mkparser()
+    args = p.parse_args([])
+    with pytest.raises(SystemExit):
+        apply_serve_defaults(args, {"serve": {"steps": True}}, p, [])
