@@ -46,7 +46,7 @@ def measure(batch, size, n_steps=24):
     # jax.checkpoint: trades recompute for activation memory AND (decisive
     # here) restructures the backward HLO so the tunnel's remote-compile
     # helper doesn't SIGILL — the un-rematerialised gradient of this model
-    # crashes it at every size/lowering (benchmarks/train_bisect4.py).
+    # crashes it at every size/lowering (benchmarks/train_bisect.py).
     apply_ckpt = jax.checkpoint(model.apply)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))

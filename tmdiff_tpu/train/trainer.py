@@ -78,7 +78,7 @@ class Trainer:
     # Rematerialise the model in the backward pass: ~halves activation HBM
     # at 256² (recompute is cheap next to conv FLOPs), and — on the dev TPU
     # tunnel — restructures the backward HLO so the remote-compile helper
-    # doesn't SIGILL (benchmarks/train_bisect4.py). Default on.
+    # doesn't SIGILL (benchmarks/train_bisect.py). Default on.
     remat: bool = True
 
     def __post_init__(self):
