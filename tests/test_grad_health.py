@@ -45,6 +45,20 @@ def test_gradients_flow_at_init(rng):
     assert flat["params/final/conv24/kernel"] > 1e-8
 
 
+def test_gradients_flow_at_torch_init(rng):
+    """The faithful reference init ('torch', init_styles.py) zeroes style
+    biases but gives style KERNELS kaiming-normal weights, so styles are
+    mean-0 random — nonzero a.s. — and every branch must still train."""
+    from tmdiff_tpu.models.init_styles import apply_init_style
+
+    emb = jnp.asarray(rng.standard_normal(768), jnp.float32)
+    model, params, args = _setup(rng, emb)
+    params = apply_init_style(params, "torch", jax.random.key(7))
+    flat = _grad_stats(model, params, args)
+    dead = [k for k, v in flat.items() if v < 1e-12]
+    assert not dead, f"dead gradients at torch init: {dead[:10]}"
+
+
 def test_output_nonzero_with_zero_prompt(rng):
     """Even a zero prompt embedding must not collapse the model output
     (styles init at 1, not 0)."""

@@ -50,6 +50,31 @@ def test_kaiming_quirk(params):
     assert abs(out[dense].std() - np.sqrt(2.0 / fan_in)) < 0.03
 
 
+def test_torch_reference_state(params):
+    """'torch' = the reference's exact post-init_weights('kaiming') state:
+    conv kernels/biases at torch Conv3d defaults (U(±1/√fan_in)), Linear
+    kernels kaiming-normal, ALL Linear biases zero (style bias included —
+    the one place this deliberately diverges from our 'kaiming' bias=1)."""
+    out = _leaves(apply_init_style(params, "torch", jax.random.key(1)))
+    conv = out["params/middle1/conv20/kernel"]
+    bound = 1.0 / np.sqrt(np.prod(conv.shape[:-1]))
+    assert conv.min() >= -bound and conv.max() <= bound
+    # uniform on ±bound has std bound/√3
+    assert abs(conv.std() - bound / np.sqrt(3)) < 0.2 * bound
+    cbias = out["params/middle1/conv20/bias"]
+    assert cbias.min() >= -bound and cbias.max() <= bound
+    assert np.abs(cbias).max() > 0  # NOT zeroed (torch default kept)
+    dense = out["params/embed/lin0/kernel"]
+    assert abs(dense.std() - np.sqrt(2.0 / dense.shape[0])) < 0.03
+    # every style bias is zero (upstream zeroes Linear biases)
+    styles = [k for k in out if k.endswith("style/bias")]
+    assert styles
+    for k in styles:
+        assert np.abs(out[k]).sum() == 0, k
+    # style kernels get kaiming-normal, so styles are mean-0 random — the
+    # model must still pass gradients (upstream trains in this regime)
+
+
 def test_unknown_style(params):
     with pytest.raises(NotImplementedError):
         apply_init_style(params, "xavier", jax.random.key(0))

@@ -81,6 +81,7 @@ SENSOR_OF_PHASE = {
 def build_datasets(opt, phase):
     from tmdiff_tpu.data import BatchIterator, PanDataset, SensorMixer
 
+    seed = int((opt["train"] or {}).get("seed") or 3407)
     train_iters, val_sets = {}, {}
     for name, ds_opt in (opt["datasets"] or {}).items():
         sensor = SENSOR_OF_PHASE.get(name)
@@ -90,13 +91,13 @@ def build_datasets(opt, phase):
             ds = PanDataset(ds_opt["dataroot"], data_len=ds_opt["data_len"] or -1)
             train_iters[sensor] = BatchIterator(
                 ds, batch_size=ds_opt["batch_size"] or 8,
-                shuffle=bool(ds_opt["use_shuffle"]),
+                shuffle=bool(ds_opt["use_shuffle"]), seed=seed,
             )
         elif name.startswith("val"):
             val_sets[sensor] = PanDataset(
                 ds_opt["dataroot"], data_len=ds_opt["data_len"] or -1
             )
-    mixer = SensorMixer(train_iters) if train_iters else None
+    mixer = SensorMixer(train_iters, seed=seed) if train_iters else None
     return mixer, val_sets
 
 
@@ -198,6 +199,7 @@ def _run(args, opt, stop):
         max_iter=train_opt.get("max_iter", 300_000),
         loss_type=(opt["model"]["diffusion"] or {}).get("loss_type", "l1"),
         p_uncond=train_opt.get("p_uncond", 0.0),
+        seed=int(train_opt.get("seed") or 3407),
         mesh=mesh,
     )
 
@@ -223,7 +225,11 @@ def _run(args, opt, stop):
         import jax
         from tmdiff_tpu.models.init_styles import apply_init_style
 
-        styled = apply_init_style(state.params, init_type, jax.random.key(7))
+        # init RNG: key 7 when train.seed is unset (bit-reproduces every
+        # artifact recorded before the knob existed), else derived from it
+        seed_opt = (opt["train"] or {}).get("seed")
+        init_key = jax.random.key(7 if not seed_opt else int(seed_opt) + 7)
+        styled = apply_init_style(state.params, init_type, init_key)
         state = state.replace(
             params=styled, ema_params=jax.tree.map(lambda x: x.copy(), styled)
         )

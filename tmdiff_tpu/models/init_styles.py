@@ -13,6 +13,18 @@ three styles selected by `model.init_type`:
 
 Biases zero in all styles. Applied to a flax param tree by leaf-name
 heuristics: Dense kernels are rank-2 'kernel' leaves, conv kernels rank>2.
+
+A fourth style, "torch", is NOT an upstream name: it reproduces the
+reference's exact post-`init_weights("kaiming")` state including what the
+quirk leaves behind — Conv3d layers at the torch module DEFAULTS
+(`torch.nn.modules.conv._ConvNd.reset_parameters`: kaiming_uniform(a=√5)
+weights = U(±1/√fan_in), biases U(±1/√fan_in)) and Linear layers kaiming-
+normal with ZERO bias (including the style projections, which "kaiming"
+here keeps at bias 1 — see ModConv3d's documented deviation). Measured
+motivation: at matched 1000-step training the torch reference reaches
+l_pix 0.0054 / SAM 0.35 while the flax-default-conv init plateaus at
+0.0138 / 0.84 — the init distribution is a convergence-speed lever, see
+BASELINE.md "Trained head-to-head".
 """
 from __future__ import annotations
 
@@ -38,20 +50,50 @@ def _kaiming_normal_fan_in(rng, shape, dtype):
     return jax.random.normal(rng, shape, dtype) * jnp.sqrt(2.0 / fan_in)
 
 
+def _torch_reference_leaf(rng, key, leaf, shapes):
+    """One leaf of the reference's post-init_weights('kaiming') state
+    (`/root/reference/GeneralModel/networks.py:31-45` + torch conv/linear
+    defaults). Conv fan_in in the flax kernel layout (*k, in, out) is
+    prod(shape[:-1]) — identical to torch's in_channels·prod(kernel)."""
+    name = key[-1]
+    if name in ("kernel", "kernels", "up_kernel") and leaf.ndim > 2:
+        # torch Conv3d default: kaiming_uniform(a=√5) → U(±1/√fan_in)
+        bound = 1.0 / np.sqrt(float(np.prod(leaf.shape[:-1])))
+        return jax.random.uniform(
+            rng, leaf.shape, leaf.dtype, -bound, bound)
+    if name == "kernel" and leaf.ndim == 2:
+        # upstream weights_init_kaiming on every Linear (incl. style/Dense)
+        return _kaiming_normal_fan_in(rng, leaf.shape, leaf.dtype)
+    if name == "bias":
+        sibling = shapes.get(key[:-1] + ("kernel",))
+        if sibling is not None and len(sibling) > 2:
+            # torch Conv3d default bias: U(±1/√fan_in) of the conv kernel
+            bound = 1.0 / np.sqrt(float(np.prod(sibling[:-1])))
+            return jax.random.uniform(
+                rng, leaf.shape, leaf.dtype, -bound, bound)
+        return jnp.zeros_like(leaf)  # Linear biases zeroed upstream
+    return leaf
+
+
 def apply_init_style(params, init_type: str, rng: jax.Array):
     """Re-initialise a flax param tree in the reference's style. Returns a
     new tree; unknown leaves (biases, norms, tables) are zeroed/kept per the
     rules above."""
-    if init_type not in ("normal", "kaiming", "orthogonal"):
+    if init_type not in ("normal", "kaiming", "orthogonal", "torch"):
         raise NotImplementedError(init_type)
 
     leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    shapes = {
+        tuple(str(p.key) for p in path): leaf.shape for path, leaf in leaves
+    }
     new = {}
     for i, (path, leaf) in enumerate(leaves):
         key = tuple(str(p.key) for p in path)
         name = key[-1]
         sub = jax.random.fold_in(rng, i)
-        if name == "bias":
+        if init_type == "torch":
+            new[key] = _torch_reference_leaf(sub, key, leaf, shapes)
+        elif name == "bias":
             # Keep modulation-style biases at 1 (see ModConv3d): zeroing them
             # (as the reference's init does) re-creates the near-dead-start
             # failure mode guarded by tests/test_grad_health.py.

@@ -34,6 +34,13 @@ def main(argv=None):
                    help="synthetic pixel-noise std; the default 0.015 puts "
                         "the irreducible SAM at the lms baseline itself "
                         "(see data/synthetic.py)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="train.seed (RNG for init/mixing/noise); default "
+                        "keeps the historical fixed seeds (3407 / key 7)")
+    p.add_argument("--init", default="kaiming",
+                   choices=["normal", "kaiming", "orthogonal", "torch"],
+                   help="init style; 'torch' is the reference's exact "
+                        "post-init state (models/init_styles.py)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                    help="'tpu' keeps the ambient (axon) backend: the train "
                         "loop runs ~100x faster; compiles go through the "
@@ -89,12 +96,13 @@ def main(argv=None):
                           "n_timestep": args.timesteps},
                 "val": {"schedule": "cosine", "n_timestep": args.timesteps},
             },
-            "init_type": "kaiming",
+            "init_type": args.init,
             "unet": {"channel_multiplier": [16, 32, 64, 128]},
             "diffusion": {"loss_type": "l1"},
         },
         "train": {"val_freq": args.steps, "print_freq": 200,
-                  "max_iter": args.steps, "optimizer": {"lr": 2e-4}},
+                  "max_iter": args.steps, "optimizer": {"lr": 2e-4},
+                  **({"seed": args.seed} if args.seed else {})},
         "val_batch_size": 8,
         "val_max_images": 8,
     }
@@ -138,7 +146,8 @@ def main(argv=None):
     }
 
     results = {"config": {"channels": channels, "steps": args.steps,
-                          "size": args.size, "timesteps": args.timesteps}}
+                          "size": args.size, "timesteps": args.timesteps,
+                          "init": args.init, "seed": args.seed}}
     from tmdiff_tpu.models.clip_text import clip_mode
     
     results["clip_mode"] = clip_mode()
