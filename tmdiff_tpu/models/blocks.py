@@ -78,11 +78,15 @@ class ModConv3d(nn.Module):
 
     Init deviation (documented): the style projection's bias initialises to
     ONE (StyleGAN convention) so styles start near identity. With zero bias
-    the styles start near zero and every modulated branch — and its
-    gradients — is attenuated to ~nothing at init (exactly zero for a zero
-    prompt embedding); the reference's torch Linear init draws a small
-    random bias and suffers the same near-dead start. Transplanted
-    checkpoints are unaffected (the bias is overwritten)."""
+    AND a small-variance kernel the styles start near zero and every
+    modulated branch — and its gradients — is attenuated to ~nothing at
+    init (exactly zero for a zero prompt embedding). The reference does NOT
+    hit that failure mode: its init_weights('kaiming') gives the style
+    Linear kaiming-normal weights (std √(2/768)) with zero bias, so styles
+    start as O(1) mean-zero randoms — reproduced by init_type="torch"
+    (models/init_styles.py), which measured 2.5× faster early convergence
+    than this default (BASELINE.md "Trained head-to-head"). Transplanted
+    checkpoints are unaffected (both leaves are overwritten)."""
 
     features: int
     kernel_size: Sequence[int] = (3, 3, 3)
