@@ -54,3 +54,56 @@ def test_import_reference_pth(tmp_path):
         jnp.asarray(g["pan"]), jnp.asarray(g["ms"]), jnp.asarray(g["prompt"]),
     )
     np.testing.assert_allclose(np.asarray(y), g["y"], atol=5e-4)
+
+
+def test_export_roundtrip(tmp_path):
+    """export_state_dict is the exact inverse of import_state_dict: our
+    trained flax params, written as an I{step}_gen.pth, re-import to
+    bit-identical leaves — weight-level interchangeability both ways."""
+    torch = pytest.importorskip("torch")
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.utils import torch_import as ti
+
+    model = WavBEST(channels=(4, 8, 8, 16))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 16)), jnp.float32)
+    params = model.init(
+        jax.random.key(1), x, jnp.array([3]),
+        jnp.ones((1, 1, 16, 16)), x, jnp.zeros(768))
+
+    pth = str(tmp_path / "I77_gen.pth")
+    ti.save_torch_checkpoint(params, pth)
+    sd = ti.load_torch_state_dict(pth)
+    back = ti.import_state_dict(sd, params)
+
+    leaves = jax.tree_util.tree_leaves(params)
+    leaves2 = jax.tree_util.tree_leaves(back)
+    assert len(leaves) == len(leaves2)
+    for a, b in zip(leaves, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_loads_into_reference_layout(tmp_path):
+    """Every exported tensor matches the reference golden state_dict's key
+    set and per-key shapes (the golden carries a real torch WavBEST save)."""
+    pytest.importorskip("torch")
+    from tmdiff_tpu.models import WavBEST
+    from tmdiff_tpu.utils import torch_import as ti
+
+    g = np.load(os.path.join(GOLDEN, "wavbest.npz"))
+    ref = {"denoise_fn." + k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+
+    model = WavBEST(channels=(8, 16, 32, 64))
+    x = jnp.asarray(g["x"])
+    params = model.init(
+        jax.random.key(0), x, jnp.asarray(g["t"]), jnp.asarray(g["pan"]),
+        jnp.asarray(g["ms"]), jnp.asarray(g["prompt"]))
+    out = ti.export_state_dict(params)
+
+    # exported keys ⊆ reference keys (dead reference leaves are absent);
+    # shapes must match exactly on the intersection
+    extra = sorted(set(out) - set(ref))
+    assert not extra, f"exported keys unknown to the reference: {extra[:5]}"
+    for k in out:
+        assert out[k].shape == ref[k].shape, (
+            k, out[k].shape, ref[k].shape)

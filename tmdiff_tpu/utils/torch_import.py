@@ -125,6 +125,46 @@ def import_state_dict(
     return jax.tree_util.tree_map_with_path(fill, flax_params)
 
 
+def _inverse_transform(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "conv":
+        # flax (kd, kh, kw, I, O) → torch (O, I, kd, kh, kw)
+        return np.transpose(arr, (4, 3, 0, 1, 2))
+    if kind == "convtranspose":
+        # flax (kd, kh, kw, in, out) → torch (in, out, kd, kh, kw)
+        return np.transpose(arr, (3, 4, 0, 1, 2))
+    if kind == "linear":
+        return np.transpose(arr, (1, 0))
+    return arr
+
+
+def export_state_dict(
+    flax_params, prefix: str = "denoise_fn."
+) -> dict[str, np.ndarray]:
+    """Inverse of `import_state_dict`: map a flax WavBEST param tree onto
+    the reference's torch state_dict keys/layouts so OUR trained weights
+    load into the upstream model (`GeneralModel/model.py:122-140` resumes
+    with strict=False, so the dead reference leaves we never materialise —
+    modulated-conv biases, WaveletUPorDown.dense2, the frozen CLIP tower —
+    may simply be absent). Round-trip with import_state_dict is exact
+    (pinned by tests/test_torch_checkpoint.py)."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(flax_params)[0]:
+        key, kind = _torch_key(tuple(str(p.key) for p in path))
+        out[prefix + key] = _inverse_transform(np.asarray(leaf), kind)
+    return out
+
+
+def save_torch_checkpoint(flax_params, path: str, prefix: str = "denoise_fn."):
+    """Write an `I{step}_gen.pth`-compatible file from a flax param tree
+    (torch import is local to conversion time, as in load_torch_state_dict)."""
+    import torch
+
+    # copy=True: jax-backed arrays are non-writable, torch wants ownership
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in export_state_dict(flax_params, prefix).items()}
+    torch.save(sd, path)
+
+
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     """Read a reference .pth checkpoint into numpy (torch import is local)."""
     import torch
