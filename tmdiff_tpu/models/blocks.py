@@ -26,7 +26,7 @@ Design deltas from the reference (all documented):
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,10 @@ class Conv3d(nn.Module):
     features: int
     kernel_size: Sequence[int] = (3, 3, 3)
     dtype: jnp.dtype = jnp.float32
+    # Default zeros keeps every existing checkpoint/golden bit-identical;
+    # models/controlnet.py overrides with the torch U(±1/√fan_in) init the
+    # reference hint path relies on to bootstrap (see HintEncoderMoE).
+    bias_init: Any = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +64,7 @@ class Conv3d(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (*self.kernel_size, cin, self.features), jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+        bias = self.param("bias", self.bias_init, (self.features,),
                           jnp.float32)
         if parts:
             y = conv3d_cat(

@@ -122,16 +122,20 @@ EMBED_DIM = 768
 _TABLE_PATH = os.path.join(os.path.dirname(__file__), "prompt_embeddings.npz")
 
 
-def _placeholder_embedding(sensor: str) -> np.ndarray:
-    """Deterministic pseudo-CLIP vector derived from the prompt text.
+def placeholder_text_embedding(text: str) -> np.ndarray:
+    """Deterministic pseudo-CLIP vector derived from arbitrary prompt text.
 
     Scaled to ~unit RMS per component like CLIP pooled outputs; stable across
-    processes (seed = sha256 of the prompt)."""
-    seed = int.from_bytes(
-        hashlib.sha256(SENSOR_PROMPTS[sensor].encode()).digest()[:8], "little"
-    )
+    processes (seed = sha256 of the prompt). Used for the sensor prompts
+    above and for the ControlNet task prompts (models/controlnet.py); the
+    same placeholder-mode caveats apply (clip_mode(), require_real_clip)."""
+    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "little")
     vec = np.random.default_rng(seed).standard_normal(EMBED_DIM)
     return (vec / np.linalg.norm(vec) * np.sqrt(EMBED_DIM)).astype(np.float32)
+
+
+def _placeholder_embedding(sensor: str) -> np.ndarray:
+    return placeholder_text_embedding(SENSOR_PROMPTS[sensor])
 
 
 @functools.lru_cache(maxsize=1)
