@@ -233,3 +233,38 @@ def test_jit_and_shapes(models, batch, hint):
     y = fwd(cp, batch)
     assert y.shape == (B, D, H, W)
     assert y.dtype == jnp.float32
+
+
+def test_composes_with_sampler(models, batch, hint):
+    """The controlled model is a drop-in DenoiseFn for the diffusion stack:
+    one jitted 3-step ddim, and the hint steers the SAMPLE once the control
+    path is live (zero convs perturbed off zero, as after training)."""
+    from tmdiff_tpu.diffusion import gaussian
+    from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+
+    controlled, _, cp, _, feat = models
+    params = dict(cp["params"])
+    control = jax.tree.map(lambda x: x, params["control"])
+    for zc in ("zeroconv0", "zeroconv1"):
+        control["hint"][zc]["kernel"] = jnp.full_like(
+            control["hint"][zc]["kernel"], 0.05)
+    control["zero4"]["kernel"] = jnp.full_like(control["zero4"]["kernel"], 0.05)
+    params["control"] = control
+
+    ns = NoiseSchedule.create("cosine", 12)
+    prompt = batch["prompt_emb"]
+
+    @jax.jit
+    def sample(h):
+        def denoise(x, t, pan, ms):
+            return controlled.apply({"params": params}, x_t=x, t=t, pan=pan,
+                                    ms=ms, prompt_emb=prompt, hint=h,
+                                    task_id=1, task_feat=feat)
+        return gaussian.ddim_sample(denoise, ns, jax.random.key(0),
+                                    batch["pan"], batch["ms"],
+                                    (B, D, H, W), steps=3)
+
+    y_pos, y_neg = sample(hint), sample(-hint)
+    assert y_pos.shape == (B, D, H, W)
+    assert bool(jnp.isfinite(y_pos).all())
+    assert not np.allclose(np.asarray(y_pos), np.asarray(y_neg))
