@@ -89,18 +89,18 @@ def main():
     target = jax.random.normal(ks[5], (B, D, H, W))
 
     @jax.jit
-    def step(p, s):
+    def step(p, s, i):
         def loss(q):
             y = ctrl.apply({"params": q}, **batch, hint=hint, task_id=tid,
                            task_feat=feat, train=True,
-                           rngs={"dropout": ks[6]})
+                           rngs={"dropout": jax.random.fold_in(ks[6], i)})
             return jnp.mean((y - target) ** 2)
         l, g = jax.value_and_grad(loss)(p)
         upd, s = tx.update(g, s, p)
         return optax.apply_updates(p, upd), s, l
 
     for i in range(12):
-        params, opt_state, l = step(params, opt_state)
+        params, opt_state, l = step(params, opt_state, i)
         if i % 4 == 0 or i == 11:
             print(f"  step {i:2d}  loss {float(l):.4f}")
 

@@ -58,19 +58,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tmdiff_tpu.models import legacy_unet
 from tmdiff_tpu.models.blocks import (
     AdaptionHead,
     Conv3d,
     ResBlockModulate,
     swish,
 )
-from tmdiff_tpu.models.legacy_blocks import (
-    LegacyFinalBlock,
-    StridedDownStage,
-    TransposedUpStage,
-)
+from tmdiff_tpu.models.legacy_blocks import StridedDownStage
 from tmdiff_tpu.models.wavbest import PromptMLP, TimeMLP
-from tmdiff_tpu.ops.embedding import gamma_embedding
 from tmdiff_tpu.ops.modconv import conv3d, modulated_conv3d
 
 # `cldm_unicontrol.py:146-150` — the 13 UniControl task ids, verbatim.
@@ -217,8 +213,11 @@ class HintEncoderMoE(nn.Module):
         # one-task-per-batch contract, `cldm_unicontrol.py:409`.
         widths = ((self.hint_channels, 16), (16, 16), (16, 32))
         for li, (cin, cout) in enumerate(widths):
+            # batch_axis: the stacked task axis is NOT receptive field —
+            # fan_in must be the per-expert 9·cin, not 13·9·cin.
             kernel = self.param(
-                f"stem{li}_kernel", nn.initializers.lecun_normal(),
+                f"stem{li}_kernel",
+                nn.initializers.lecun_normal(batch_axis=(0,)),
                 (self.all_tasks_num, 1, 3, 3, cin, cout), jnp.float32,
             )
             bias = self.param(f"stem{li}_bias",
@@ -315,15 +314,16 @@ class ControlledLegacyUNet(nn.Module):
     @nn.compact
     def __call__(self, x_t, t, pan, ms, prompt_emb, *, hint=None,
                  task_id: int = 0, task_feat=None, train: bool = False):
-        c0, c1, c2, c3 = self.channels
+        c0 = self.channels[0]
         d = self.dtype
         if prompt_emb.ndim == 1:
             prompt_emb = jnp.broadcast_to(
                 prompt_emb, (x_t.shape[0], prompt_emb.shape[0]))
-        gemb = gamma_embedding(jnp.reshape(t, (-1,)), self.inter_dim).astype(d)
-        zemb = swish(PromptMLP(self.embed_dim, name="embed2", dtype=d)(
-            prompt_emb.astype(d)))
-        temb = swish(TimeMLP(self.embed_dim, name="embed", dtype=d)(gemb))
+
+        # The base forward IS LegacyUNet's own stage helpers
+        # (legacy_unet.embeds/encode/middle/decode) — one wiring definition,
+        # no drift between the plain and the controlled model.
+        gemb, temb, zemb = legacy_unet.embeds(self, x_t, t, prompt_emb)
         # Upstream computes the base time embed inside the same
         # torch.no_grad() that freezes the encoder (`cldm_unicontrol.py:72`);
         # the decoder consumes the detached emb. Mirror that exactly so the
@@ -334,23 +334,14 @@ class ControlledLegacyUNet(nn.Module):
         cond = (pan - ms).astype(d)[..., None]
         xt = x_t.astype(d)[..., None]
 
-        # Base encoder (cond + x sides) — frozen in the controlled forward.
-        c_h0 = AdaptionHead(c0, name="conv1", dtype=d)(cond, zemb)
-        c_h1 = StridedDownStage(c1, name="down1_1", dtype=d)(c_h0, temb, zemb, train=train)
-        c_h2 = StridedDownStage(c2, name="down2_1", dtype=d)(c_h1, temb, zemb, train=train)
-        c_h3 = StridedDownStage(c3, name="down3_1", dtype=d)(c_h2, temb, zemb, train=train)
-
-        x_h0 = AdaptionHead(c0, name="conv2", dtype=d)(xt, zemb)
-        x_h1 = StridedDownStage(c1, name="down1", dtype=d)(x_h0, temb, zemb, train=train)
-        x_h2 = StridedDownStage(c2, name="down2", dtype=d)(x_h1, temb, zemb, train=train)
-        x_h3 = StridedDownStage(c3, name="down3", dtype=d)(x_h2, temb, zemb, train=train)
-        h = ResBlockModulate(c3, name="middle1", dtype=d)(x_h3, temb, zemb, train=train)
-
-        # torch.no_grad() over input_blocks + middle_block (:72-79).
-        c_h0, c_h1, c_h2, c_h3 = map(jax.lax.stop_gradient,
-                                     (c_h0, c_h1, c_h2, c_h3))
-        x_h0, x_h1, x_h2, x_h3, h = map(jax.lax.stop_gradient,
-                                        (x_h0, x_h1, x_h2, x_h3, h))
+        # Base encoder (cond + x sides) + middle, then torch.no_grad() over
+        # input_blocks + middle_block (:72-79) as stop_gradient on the taps.
+        c_taps, x_taps = legacy_unet.encode(self, cond, xt, temb, zemb,
+                                            train=train)
+        h = legacy_unet.middle(self, x_taps[3], temb, zemb, train=train)
+        c_taps = tuple(map(jax.lax.stop_gradient, c_taps))
+        x_h0, x_h1, x_h2, x_h3 = map(jax.lax.stop_gradient, x_taps)
+        h = jax.lax.stop_gradient(h)
 
         if hint is not None:
             if task_feat is None:
@@ -371,20 +362,8 @@ class ControlledLegacyUNet(nn.Module):
                 x_h1 = x_h1 + s[1] * r1
                 x_h0 = x_h0 + s[0] * r0
 
-        def crop_to(hh, ref):
-            return hh[:, :, : ref.shape[2], : ref.shape[3], :]
-
-        h = TransposedUpStage(c2, name="up1", dtype=d)(h, temb, zemb, c_h3, x_h3, train=train)
-        h = crop_to(h, c_h2)
-        h = TransposedUpStage(c1, name="up2", dtype=d)(h, temb, zemb, c_h2, x_h2, train=train)
-        h = crop_to(h, c_h1)
-        h = TransposedUpStage(c0, name="up3", dtype=d)(h, temb, zemb, c_h1, x_h1, train=train)
-        h = crop_to(h, xt)
-        h = LegacyFinalBlock(c0, name="final", dtype=d)(
-            jnp.concatenate([h, c_h0, x_h0], axis=-1), temb, zemb, train=train
-        )
-        out = nn.Dense(1, name="out_proj", dtype=d)(h)
-        return out[..., 0].astype(jnp.float32)
+        return legacy_unet.decode(self, h, c_taps, (x_h0, x_h1, x_h2, x_h3),
+                                  xt, temb, zemb, train=train)
 
 
 # --- parameter plumbing -----------------------------------------------------
