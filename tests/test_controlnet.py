@@ -235,6 +235,58 @@ def test_jit_and_shapes(models, batch, hint):
     assert y.dtype == jnp.float32
 
 
+def test_sharded_finetune_matches_single_device(models, batch, hint):
+    """ControlNet fine-tuning under the SPMD data mesh: 2 multi_transform
+    steps on an 8-way data-parallel mesh must reproduce the single-device
+    loss trajectory (the production fine-tune regime; space sharding is not
+    claimed for the legacy VALID-stride convs, so the mesh is data-only)."""
+    import optax
+
+    from tmdiff_tpu.parallel import make_mesh
+    from tmdiff_tpu.parallel.mesh import replicated, shard_batch
+
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+    controlled, _, cp, _, feat = models
+    params = init_control_from_base(cp["params"])
+    tx = optax.multi_transform(
+        {"train": optax.adam(1e-2), "freeze": optax.set_to_zero()},
+        trainable_labels(params, sd_locked=True))
+    target = jax.random.normal(jax.random.PRNGKey(5), (8, D, H, W))
+
+    def big(x):  # tile the fixture's B=2 batch up to 8 rows
+        return jnp.concatenate([x] * 4) if x.ndim and x.shape[0] == B else x
+
+    train_batch = {k: big(v) for k, v in batch.items()}
+    train_hint = big(hint)
+
+    @jax.jit
+    def step(p, s, b, h):
+        def loss(q):
+            y = controlled.apply({"params": q}, **b, hint=h,
+                                 task_id=1, task_feat=feat)
+            return jnp.mean((y - target) ** 2)
+        l, g = jax.value_and_grad(loss)(p)
+        upd, s = tx.update(g, s, p)
+        return optax.apply_updates(p, upd), s, l
+
+    def run(p, b, h):
+        s, losses = tx.init(p), []
+        for _ in range(2):
+            p, s, l = step(p, s, b, h)
+            losses.append(float(l))
+        return losses
+
+    ref = run(params, train_batch, train_hint)
+    mesh = make_mesh(data=8, space=1)
+    per_sample = {k: v for k, v in train_batch.items() if k != "prompt_emb"}
+    sharded = shard_batch(mesh, {**per_sample, "hint": train_hint})
+    h_sh = sharded.pop("hint")
+    sharded["prompt_emb"] = jax.device_put(train_batch["prompt_emb"],
+                                           replicated(mesh))
+    p_repl = jax.device_put(params, replicated(mesh))
+    np.testing.assert_allclose(run(p_repl, sharded, h_sh), ref, rtol=1e-5)
+
+
 def test_composes_with_sampler(models, batch, hint):
     """The controlled model is a drop-in DenoiseFn for the diffusion stack:
     one jitted 3-step ddim, and the hint steers the SAMPLE once the control
