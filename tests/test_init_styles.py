@@ -78,3 +78,36 @@ def test_torch_reference_state(params):
 def test_unknown_style(params):
     with pytest.raises(NotImplementedError):
         apply_init_style(params, "xavier", jax.random.key(0))
+
+
+def test_torch_state_transpose_and_stacked_leaves():
+    """'torch' on module families outside WavBEST:
+    * ConvTranspose3d (`up_kernel`/`up_bias`) keeps torch defaults where
+      fan_in reads weight.size(1) — the OUT channels for transposed convs —
+      so bound = 1/√(out·prod(k)), bias included (not zero);
+    * Dynamic_conv stacked `kernels` (K, *k, in, out): per-expert DEFAULT
+      kaiming_uniform_ (bound √(6/(in·prod(k))), K excluded from fan), and
+      its bias stays exactly zero (created as zeros, never re-initialised —
+      reference core/dynamic_conv.py:61-72)."""
+    from tmdiff_tpu.models.legacy_unet import LegacyUNet
+    from tmdiff_tpu.ops.dynamic_conv import DynamicConv3d
+
+    x = jnp.ones((1, 4, 16, 16))
+    lp = LegacyUNet(channels=(8, 12, 16, 20), embed_dim=16, inter_dim=8).init(
+        jax.random.key(0), x, jnp.array([1.0]), x, x, jnp.zeros(768))
+    out = _leaves(apply_init_style(lp, "torch", jax.random.key(1)))
+    upk = out["params/up1/up_kernel"]
+    upb = out["params/up1/up_bias"]
+    bound = 1.0 / np.sqrt(np.prod(upk.shape[:-2]) * upk.shape[-1])
+    assert upk.min() >= -bound and upk.max() <= bound
+    assert abs(upk.std() - bound / np.sqrt(3)) < 0.2 * bound
+    assert np.abs(upb).max() > 0 and np.abs(upb).max() <= bound
+
+    dc = DynamicConv3d(features=6, kernel_size=(3, 3, 3))
+    dp = dc.init(jax.random.key(0), jnp.ones((1, 2, 8, 8, 4)))
+    dout = _leaves(apply_init_style(dp, "torch", jax.random.key(1)))
+    ks = dout["params/kernels"]
+    b6 = np.sqrt(6.0 / np.prod(ks.shape[1:-1]))
+    assert ks.min() >= -b6 and ks.max() <= b6
+    assert abs(ks.std() - b6 / np.sqrt(3)) < 0.2 * b6
+    assert np.abs(dout["params/bias"]).sum() == 0

@@ -81,7 +81,9 @@ SENSOR_OF_PHASE = {
 def build_datasets(opt, phase):
     from tmdiff_tpu.data import BatchIterator, PanDataset, SensorMixer
 
-    seed = int((opt["train"] or {}).get("seed") or 3407)
+    # explicit None check: seed=0 is a valid, distinct seed
+    seed_opt = (opt["train"] or {}).get("seed")
+    seed = 3407 if seed_opt is None else int(seed_opt)
     train_iters, val_sets = {}, {}
     for name, ds_opt in (opt["datasets"] or {}).items():
         sensor = SENSOR_OF_PHASE.get(name)
@@ -199,7 +201,8 @@ def _run(args, opt, stop):
         max_iter=train_opt.get("max_iter", 300_000),
         loss_type=(opt["model"]["diffusion"] or {}).get("loss_type", "l1"),
         p_uncond=train_opt.get("p_uncond", 0.0),
-        seed=int(train_opt.get("seed") or 3407),
+        seed=(3407 if train_opt.get("seed") is None
+              else int(train_opt.get("seed"))),
         mesh=mesh,
     )
 
@@ -227,8 +230,10 @@ def _run(args, opt, stop):
 
         # init RNG: key 7 when train.seed is unset (bit-reproduces every
         # artifact recorded before the knob existed), else derived from it
+        # (None check, not truthiness: seed=0 is a valid seed)
         seed_opt = (opt["train"] or {}).get("seed")
-        init_key = jax.random.key(7 if not seed_opt else int(seed_opt) + 7)
+        init_key = jax.random.key(
+            7 if seed_opt is None else int(seed_opt) + 7)
         styled = apply_init_style(state.params, init_type, init_key)
         state = state.replace(
             params=styled, ema_params=jax.tree.map(lambda x: x.copy(), styled)

@@ -54,9 +54,25 @@ def _torch_reference_leaf(rng, key, leaf, shapes):
     """One leaf of the reference's post-init_weights('kaiming') state
     (`/root/reference/GeneralModel/networks.py:31-45` + torch conv/linear
     defaults). Conv fan_in in the flax kernel layout (*k, in, out) is
-    prod(shape[:-1]) — identical to torch's in_channels·prod(kernel)."""
+    prod(shape[:-1]) — identical to torch's in_channels·prod(kernel).
+    Special cases reproduced exactly:
+      * `up_kernel`/`up_bias` (ConvTranspose3d, untouched by the kaiming
+        quirk): torch `_calculate_fan_in_and_fan_out` reads fan_in from
+        weight.size(1), which for TRANSPOSED convs is the OUT channels —
+        fan_in = out·prod(k), for both weight and bias bounds.
+      * `kernels` (Dynamic_conv stacked (K, *k, in, out)): upstream
+        re-inits each expert with DEFAULT `kaiming_uniform_` (gain √2 →
+        bound √(6/fan), per-expert fan = in·prod(k); `dynamic_conv.py:71-72`)
+        and leaves its zeros bias untouched (`:63`)."""
     name = key[-1]
-    if name in ("kernel", "kernels", "up_kernel") and leaf.ndim > 2:
+    if name == "up_kernel":
+        fan_in = float(np.prod(leaf.shape[:-2]) * leaf.shape[-1])
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(rng, leaf.shape, leaf.dtype, -bound, bound)
+    if name == "kernels" and leaf.ndim > 2:
+        bound = np.sqrt(6.0 / float(np.prod(leaf.shape[1:-1])))
+        return jax.random.uniform(rng, leaf.shape, leaf.dtype, -bound, bound)
+    if name == "kernel" and leaf.ndim > 2:
         # torch Conv3d default: kaiming_uniform(a=√5) → U(±1/√fan_in)
         bound = 1.0 / np.sqrt(float(np.prod(leaf.shape[:-1])))
         return jax.random.uniform(
@@ -64,7 +80,18 @@ def _torch_reference_leaf(rng, key, leaf, shapes):
     if name == "kernel" and leaf.ndim == 2:
         # upstream weights_init_kaiming on every Linear (incl. style/Dense)
         return _kaiming_normal_fan_in(rng, leaf.shape, leaf.dtype)
+    if name == "up_bias":
+        k_shape = shapes.get(key[:-1] + ("up_kernel",))
+        if k_shape is not None:
+            fan_in = float(np.prod(k_shape[:-2]) * k_shape[-1])
+            bound = 1.0 / np.sqrt(fan_in)
+            return jax.random.uniform(
+                rng, leaf.shape, leaf.dtype, -bound, bound)
+        return leaf
     if name == "bias":
+        if shapes.get(key[:-1] + ("kernels",)) is not None:
+            # Dynamic_conv bias: created as zeros, never re-initialised
+            return jnp.zeros_like(leaf)
         sibling = shapes.get(key[:-1] + ("kernel",))
         if sibling is not None and len(sibling) > 2:
             # torch Conv3d default bias: U(±1/√fan_in) of the conv kernel

@@ -22,39 +22,17 @@ CLIP is the deterministic placeholder on both sides (same table, see
 tools/reference_headtohead.py).
 """
 import argparse
-import importlib.machinery
 import json
 import os
 import sys
-import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import fake_pywt  # noqa: E402
-
-sys.modules["pywt"] = fake_pywt
-
-_tv = types.ModuleType("torchvision")
-
-
-class _AnyTransform:
-    def __getattr__(self, name):
-        return lambda *a, **k: (lambda x: x)
-
-
-_tv.transforms = _AnyTransform()
-_tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
-_tv.__version__ = "0.0.0"
-sys.modules["torchvision"] = _tv
-sys.modules["torchvision.transforms"] = _tv.transforms
-_tvu = types.ModuleType("torchvision.utils")
-_tvu.save_image = lambda *a, **k: None
-_tvu.make_grid = lambda *a, **k: None
-_tv.utils = _tvu
-sys.modules["torchvision.utils"] = _tvu
-
-sys.path.insert(0, "/root/reference")
+# Importing the head-to-head tool installs the shared pywt/torchvision
+# stubs and the /root/reference sys.path entry at ITS module level — one
+# stubbing prologue, not two copies to keep in sync.
+from tools import reference_headtohead  # noqa: E402,F401
 
 
 def main(argv=None):
@@ -166,6 +144,10 @@ def main(argv=None):
               "lms:", lms, flush=True)
 
     results["beats_lms_everywhere"] = bool(ok)
+    # A partially-transferred checkpoint (live reference layers left at
+    # torch random init) must FAIL even if the weak lms bar still holds.
+    ok = ok and not live_missing
+    results["all_live_keys_transferred"] = not live_missing
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print("RESULT", json.dumps(results), flush=True)

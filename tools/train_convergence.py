@@ -102,7 +102,8 @@ def main(argv=None):
         },
         "train": {"val_freq": args.steps, "print_freq": 200,
                   "max_iter": args.steps, "optimizer": {"lr": 2e-4},
-                  **({"seed": args.seed} if args.seed else {})},
+                  # None check, not truthiness: seed=0 is a valid seed
+                  **({} if args.seed is None else {"seed": args.seed})},
         "val_batch_size": 8,
         "val_max_images": 8,
     }
@@ -153,12 +154,21 @@ def main(argv=None):
     results["clip_mode"] = clip_mode()
 
     # baselines: lms identity (sampled pred := LMS, i.e. Res := 0) and the
-    # UNTRAINED model through the actual sampler
+    # UNTRAINED model through the actual sampler — at the SAME init style
+    # and seed the trained run starts from (cli.py's apply_init_style path),
+    # so untrained_* scores in the artifact match the recorded config.
     trainer = Trainer(model=model, schedule=schedule, lr=2e-4,
                       max_iter=args.steps)
     b0 = val_sets["QB"].batch(np.arange(1))
     emb0 = np.asarray(sharp.prompt_embedding("QB"))
     state0 = trainer.init_state(b0, emb0)
+    if args.init:
+        from tmdiff_tpu.models.init_styles import apply_init_style
+
+        init_key = jax.random.key(
+            7 if args.seed is None else int(args.seed) + 7)
+        state0 = state0.replace(
+            params=apply_init_style(state0.params, args.init, init_key))
     for sensor, ds in val_sets.items():
         lms_preds = [ds[i]["MS"] for i in range(len(ds))]
         results[f"lms_{sensor}"] = score_preds(ds, lms_preds)
