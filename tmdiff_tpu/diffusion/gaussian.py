@@ -226,6 +226,64 @@ def ddim_sample(
     return x
 
 
+def ddim_sample_blockcached(
+    full_fn,
+    reuse_fn,
+    ns: NoiseSchedule,
+    rng: jax.Array,
+    pan: jnp.ndarray,
+    ms: jnp.ndarray,
+    shape: tuple,
+    *,
+    steps: int = 20,
+    refresh_every: int = 2,
+    clip_mode: str = "static",
+    x_init: Optional[jnp.ndarray] = None,
+):
+    """DDIM with cross-step deep-feature caching (training-free NFE cost
+    reduction; Δ-DiT / block-caching family, PAPERS.md). The grid is split
+    into chunks of `refresh_every` steps: the first step of each chunk calls
+    `full_fn(x, t) -> (x0_hat, deep)` (full network, returning the deep-trunk
+    features), the remaining steps call `reuse_fn(x, t, deep) -> x0_hat`
+    (shallow path consuming the cached trunk). With `refresh_every=1` this is
+    exactly `ddim_sample`. One `lax.scan` over chunks; the compiled graph
+    holds one full + one reuse forward regardless of step count.
+
+    The reference has no analogue — its samplers re-run the whole network
+    every NFE (`diffusion_general.py:227-255`). No model type restriction
+    beyond what the two callables encode.
+    """
+    if steps % refresh_every:
+        raise ValueError(
+            f"steps={steps} must be divisible by refresh_every={refresh_every}")
+    T = ns.num_timesteps
+    grid = np.round(np.linspace(T, 0, steps + 1)).astype(np.int32)
+    if len(np.unique(grid)) != steps + 1:
+        raise ValueError(f"steps={steps} > T={T}: grid degenerates")
+    x = x_init if x_init is not None else jax.random.normal(rng, shape)
+    b = shape[0]
+    # (n_chunks, refresh_every, 2) of (t, s) jump endpoints
+    pairs = jnp.stack([jnp.asarray(grid[:-1]), jnp.asarray(grid[1:])], axis=1)
+    chunks = pairs.reshape(steps // refresh_every, refresh_every, 2)
+
+    def chunk_step(x, ts):
+        t0, s0 = ts[0, 0], ts[0, 1]
+        x0, deep = full_fn(x, jnp.full((b,), t0, jnp.int32))
+        x = ddim_jump(ns, x, clip_x0(x0, clip_mode), t0, s0)
+
+        def inner(x, ts_i):
+            t, s = ts_i[0], ts_i[1]
+            x0 = reuse_fn(x, jnp.full((b,), t, jnp.int32), deep)
+            return ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s), None
+
+        if refresh_every > 1:
+            x, _ = jax.lax.scan(inner, x, ts[1:])
+        return x, None
+
+    x, _ = jax.lax.scan(chunk_step, x, chunks)
+    return x
+
+
 def regression_sample(denoise_fn: DenoiseFn, rng, pan, ms, shape):
     """1-NFE regression shortcut (`sample_by_regression:289-298`): single
     forward at t = T+1 from pure noise."""

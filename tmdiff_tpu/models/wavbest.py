@@ -142,7 +142,11 @@ class WavBEST(nn.Module):
 
     # -- denoising given cached condition --------------------------------------
 
-    def denoise(self, x_t, t, cond_cache, *, train: bool = False):
+    def _denoise_impl(self, x_t, t, cond_cache, deep=None, *, train: bool = False):
+        """Shared denoise body. `deep`, when given, is `(x_h3, h_mid)` from a
+        previous call — the down3 stage and the middle ResBlock are then
+        skipped entirely (cross-step block caching; see `denoise_reuse`).
+        Returns `(out, (x_h3, h_mid))`."""
         zemb = cond_cache["zemb"]
         c_h0, c_h1, c_h2, c_h3 = cond_cache["feats"]
         c_s1, c_s2, c_s3 = cond_cache["skips"]
@@ -152,18 +156,42 @@ class WavBEST(nn.Module):
         x_h0 = self.conv2(xt, zemb)
         x_h1, _ = self.down1(x_h0, temb, zemb, train=train)
         x_h2, _ = self.down2(x_h1, temb, zemb, train=train)
-        x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
+        if deep is None:
+            x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
+            h = self.middle1(x_h3, temb, zemb, train=train)
+        else:
+            x_h3, h = deep
 
         # 3-way skip concats are passed as PARTS — the consuming ResBlock
         # slices its kernels instead of materialising the concatenated
         # activation (~0.8 GB of HBM traffic per outer-level concat at 256²;
         # measured 11% faster per decoder conv — ops/modconv.py::conv3d_cat).
-        h = self.middle1(x_h3, temb, zemb, train=train)
+        deep_out = (x_h3, h)
         h = self.up1((h, c_h3, x_h3), temb, zemb, c_s3, train=train)
         h = self.up2((h, c_h2, x_h2), temb, zemb, c_s2, train=train)
         h = self.up3((h, c_h1, x_h1), temb, zemb, c_s1, train=train)
         out = self.final((h, c_h0, x_h0), temb, zemb, train=train)
-        return out[..., 0].astype(jnp.float32)
+        return out[..., 0].astype(jnp.float32), deep_out
+
+    def denoise(self, x_t, t, cond_cache, *, train: bool = False):
+        return self._denoise_impl(x_t, t, cond_cache, train=train)[0]
+
+    def denoise_deep(self, x_t, t, cond_cache, *, train: bool = False):
+        """Full denoise that ALSO returns the deep-trunk features
+        `(x_h3, h_mid)` for cross-step reuse (training-free block caching à la
+        Δ-DiT / "Cache Me if You Can", PAPERS.md): at adjacent sampler steps
+        x_t changes slowly, and the deepest (lowest-resolution) features
+        change slowest of all, so a sampler can refresh them every k-th NFE
+        and run the shallow path in between (`denoise_reuse`). Pairs with
+        `diffusion.gaussian.ddim_sample_blockcached`."""
+        return self._denoise_impl(x_t, t, cond_cache, train=train)
+
+    def denoise_reuse(self, x_t, t, cond_cache, deep, *, train: bool = False):
+        """Denoise consuming a cached deep trunk: skips `down3` + `middle1`
+        (the stale features carry the previous step's t through those blocks;
+        everything else — shallow encoder, decoder, time embedding — is
+        computed fresh at the current t)."""
+        return self._denoise_impl(x_t, t, cond_cache, deep, train=train)[0]
 
     # -- fused single-shot forward (reference semantics) -----------------------
 

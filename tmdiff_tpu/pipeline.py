@@ -87,7 +87,8 @@ class Pansharpener:
         return self.model.apply(params, x, t, cache, method=self.model.denoise)
 
     def _build(self, method: str, steps: Optional[int],
-               legacy: bool, num_frames: Optional[int] = None):
+               legacy: bool, num_frames: Optional[int] = None,
+               refresh_every: int = 2):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
                 step_noise=None, guidance=3.0):
             rng = jax.random.fold_in(jax.random.key(0), seed)
@@ -116,6 +117,25 @@ class Pansharpener:
                 res = gaussian.ddim_sample(
                     denoise, self.ns, rng, pan, ms, shape,
                     steps=steps or 50, x_init=x_init,
+                )
+            elif method == "ddim_cached":
+                # Cross-step deep-trunk caching (PAPERS.md block-caching
+                # family): refresh down3+middle every `refresh_every`-th NFE,
+                # run the shallow path in between. Training-free; quality
+                # cost measured in BASELINE.md ("block caching").
+                if not hasattr(self.model, "denoise_deep"):
+                    raise ValueError(
+                        f"{type(self.model).__name__} has no deep-trunk "
+                        "split; ddim_cached needs denoise_deep/denoise_reuse")
+                full = lambda x, t: self.model.apply(
+                    params, x, t, cache, method=self.model.denoise_deep)
+                reuse = lambda x, t, deep: self.model.apply(
+                    params, x, t, cache, deep,
+                    method=self.model.denoise_reuse)
+                res = gaussian.ddim_sample_blockcached(
+                    full, reuse, self.ns, rng, pan, ms, shape,
+                    steps=steps or 20, refresh_every=refresh_every,
+                    x_init=x_init,
                 )
             elif method == "dpm++_cfg":
                 # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
@@ -173,6 +193,7 @@ class Pansharpener:
         params=None,
         x_init=None,
         step_noise=None,
+        refresh_every: int = 2,
     ):
         """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
 
@@ -185,10 +206,16 @@ class Pansharpener:
         # guidance is a traced argument, NOT part of the compile key: a
         # guidance sweep (or per-request guidance in serving) reuses one
         # compiled CFG sampler.
-        key = (method, steps, legacy_noise_inversion, num_frames)
+        # refresh_every only shapes the ddim_cached program — keep it out of
+        # every other method's compile key so sweeps don't re-jit them.
+        if method != "ddim_cached":
+            refresh_every = 2
+        key = (method, steps, legacy_noise_inversion, num_frames,
+               refresh_every)
         if key not in self._compiled:
             self._compiled[key] = self._build(
-                method, steps, legacy_noise_inversion, num_frames
+                method, steps, legacy_noise_inversion, num_frames,
+                refresh_every,
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params
