@@ -28,7 +28,7 @@ emb = jnp.asarray(get_prompt_embedding("WV3"))
 ns = NoiseSchedule.create("cosine", 500)
 
 
-def build(refresh_every: int):
+def build(refresh_every: int, level: int = 1):
     @jax.jit
     def run(seed):
         rng = jax.random.key(seed)
@@ -46,10 +46,12 @@ def build(refresh_every: int):
                 fn, ns, jax.random.fold_in(rng, 3),
                 None, None, (B, bands, H, W), steps=STEPS)
         else:
-            full = lambda x, t: model.apply(params, x, t, cache,
-                                            method=model.denoise_deep)
+            full = lambda x, t: model.apply(
+                params, x, t, cache, cache_level=level,
+                method=model.denoise_deep)
             reuse = lambda x, t, deep: model.apply(
-                params, x, t, cache, deep, method=model.denoise_reuse)
+                params, x, t, cache, deep, cache_level=level,
+                method=model.denoise_reuse)
             out = gaussian.ddim_sample_blockcached(
                 full, reuse, ns, jax.random.fold_in(rng, 3),
                 None, None, (B, bands, H, W), steps=STEPS,
@@ -58,11 +60,11 @@ def build(refresh_every: int):
     return run
 
 
-for r in (1, 2, 4):
-    run = build(r)
+for r, level in ((1, 1), (2, 1), (4, 1), (2, 2), (4, 2)):
+    run = build(r, level)
     t0 = time.perf_counter(); s = float(run(0)); c = time.perf_counter() - t0
     t0 = time.perf_counter(); s = float(run(1)); d = time.perf_counter() - t0
-    print(f"ddim_cached steps={STEPS} refresh_every={r}: compile {c:.0f}s, "
-          f"sample {d:.2f}s -> {B / d:.2f} img/s/chip (sink {s:.3f})",
-          flush=True)
+    print(f"ddim_cached steps={STEPS} refresh_every={r} level={level}: "
+          f"compile {c:.0f}s, sample {d:.2f}s -> {B / d:.2f} img/s/chip "
+          f"(sink {s:.3f})", flush=True)
 print("done")

@@ -83,6 +83,45 @@ def test_blockcached_wiring_equals_ddim(shared_sharp, batch):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=1e-6)
 
 
+def test_deep_split_level2_is_exact_factoring(shared_sharp, batch):
+    """cache_level=2 (down3 + middle + up1 skipped; cache = the up1 output):
+    full forward matches denoise bitwise, same-step reuse matches bitwise."""
+    model, params = shared_sharp.model, shared_sharp.params
+    emb = jnp.zeros(768)
+    t = jnp.array([3, 7])
+    cache = model.apply(
+        params, batch["pan"], batch["ms"], emb,
+        method=model.encode_condition)
+    full = model.apply(params, batch["x"], t, cache, method=model.denoise)
+    out, deep = model.apply(
+        params, batch["x"], t, cache, cache_level=2,
+        method=model.denoise_deep)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+    assert isinstance(deep, jnp.ndarray)  # level 2 carries only h_up1
+    reused = model.apply(
+        params, batch["x"], t, cache, deep, cache_level=2,
+        method=model.denoise_reuse)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(reused))
+    with pytest.raises(ValueError, match="cache_level"):
+        model.apply(params, batch["x"], t, cache, cache_level=3,
+                    method=model.denoise_deep)
+
+
+def test_pipeline_ddim_cached_level2(shared_sharp):
+    data = make_arrays(n=2, bands=4, size=16, seed=3)
+    kw = dict(sensor="QB", method="ddim_cached", steps=4, seed=5)
+    out1 = shared_sharp.sample(
+        {"PAN": data["pan"], "MS": data["lms"]},
+        refresh_every=2, cache_level=1, **kw)
+    out2 = shared_sharp.sample(
+        {"PAN": data["pan"], "MS": data["lms"]},
+        refresh_every=2, cache_level=2, **kw)
+    assert out2.shape == data["lms"].shape
+    assert np.isfinite(out2).all()
+    # level 2 skips strictly more per reuse step, so it deviates from level 1
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 0
+
+
 def test_pipeline_ddim_cached(shared_sharp):
     data = make_arrays(n=2, bands=4, size=16, seed=3)
     out = shared_sharp.sample(

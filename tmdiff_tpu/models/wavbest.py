@@ -142,11 +142,18 @@ class WavBEST(nn.Module):
 
     # -- denoising given cached condition --------------------------------------
 
-    def _denoise_impl(self, x_t, t, cond_cache, deep=None, *, train: bool = False):
-        """Shared denoise body. `deep`, when given, is `(x_h3, h_mid)` from a
-        previous call — the down3 stage and the middle ResBlock are then
-        skipped entirely (cross-step block caching; see `denoise_reuse`).
-        Returns `(out, (x_h3, h_mid))`."""
+    def _denoise_impl(self, x_t, t, cond_cache, deep=None, *,
+                      cache_level: int = 1, train: bool = False):
+        """Shared denoise body. `deep`, when given, is the cached deep-trunk
+        state from a previous call and the corresponding blocks are skipped
+        entirely (cross-step block caching; see `denoise_reuse`):
+          * cache_level=1 — deep = `(x_h3, h_mid)`; skips down3 + middle1.
+          * cache_level=2 — deep = `h_up1` (the up1 output; x_h3 feeds only
+            the skipped blocks, so it needn't be carried); skips down3 +
+            middle1 + up1.
+        Returns `(out, deep_out)` with `deep_out` at the same level."""
+        if cache_level not in (1, 2):
+            raise ValueError(f"cache_level must be 1 or 2, got {cache_level}")
         zemb = cond_cache["zemb"]
         c_h0, c_h1, c_h2, c_h3 = cond_cache["feats"]
         c_s1, c_s2, c_s3 = cond_cache["skips"]
@@ -156,18 +163,24 @@ class WavBEST(nn.Module):
         x_h0 = self.conv2(xt, zemb)
         x_h1, _ = self.down1(x_h0, temb, zemb, train=train)
         x_h2, _ = self.down2(x_h1, temb, zemb, train=train)
-        if deep is None:
-            x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
-            h = self.middle1(x_h3, temb, zemb, train=train)
-        else:
-            x_h3, h = deep
 
         # 3-way skip concats are passed as PARTS — the consuming ResBlock
         # slices its kernels instead of materialising the concatenated
         # activation (~0.8 GB of HBM traffic per outer-level concat at 256²;
         # measured 11% faster per decoder conv — ops/modconv.py::conv3d_cat).
-        deep_out = (x_h3, h)
-        h = self.up1((h, c_h3, x_h3), temb, zemb, c_s3, train=train)
+        if deep is not None and cache_level == 2:
+            h = deep
+        else:
+            if deep is None:
+                x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
+                h = self.middle1(x_h3, temb, zemb, train=train)
+            else:
+                x_h3, h = deep
+            if cache_level == 1:
+                deep_out = (x_h3, h)
+            h = self.up1((h, c_h3, x_h3), temb, zemb, c_s3, train=train)
+        if cache_level == 2:
+            deep_out = h
         h = self.up2((h, c_h2, x_h2), temb, zemb, c_s2, train=train)
         h = self.up3((h, c_h1, x_h1), temb, zemb, c_s1, train=train)
         out = self.final((h, c_h0, x_h0), temb, zemb, train=train)
@@ -176,22 +189,29 @@ class WavBEST(nn.Module):
     def denoise(self, x_t, t, cond_cache, *, train: bool = False):
         return self._denoise_impl(x_t, t, cond_cache, train=train)[0]
 
-    def denoise_deep(self, x_t, t, cond_cache, *, train: bool = False):
-        """Full denoise that ALSO returns the deep-trunk features
-        `(x_h3, h_mid)` for cross-step reuse (training-free block caching à la
-        Δ-DiT / "Cache Me if You Can", PAPERS.md): at adjacent sampler steps
-        x_t changes slowly, and the deepest (lowest-resolution) features
-        change slowest of all, so a sampler can refresh them every k-th NFE
-        and run the shallow path in between (`denoise_reuse`). Pairs with
+    def denoise_deep(self, x_t, t, cond_cache, *, cache_level: int = 1,
+                     train: bool = False):
+        """Full denoise that ALSO returns the deep-trunk features for
+        cross-step reuse (training-free block caching à la Δ-DiT / "Cache Me
+        if You Can", PAPERS.md): at adjacent sampler steps x_t changes
+        slowly, and the deepest (lowest-resolution) features change slowest
+        of all, so a sampler can refresh them every k-th NFE and run the
+        shallow path in between (`denoise_reuse`). cache_level=1 caches
+        `(x_h3, h_mid)` (down3+middle skipped on reuse); cache_level=2
+        caches `h_up1` (down3+middle+up1 skipped). Pairs with
         `diffusion.gaussian.ddim_sample_blockcached`."""
-        return self._denoise_impl(x_t, t, cond_cache, train=train)
+        return self._denoise_impl(x_t, t, cond_cache,
+                                  cache_level=cache_level, train=train)
 
-    def denoise_reuse(self, x_t, t, cond_cache, deep, *, train: bool = False):
+    def denoise_reuse(self, x_t, t, cond_cache, deep, *, cache_level: int = 1,
+                      train: bool = False):
         """Denoise consuming a cached deep trunk: skips `down3` + `middle1`
-        (the stale features carry the previous step's t through those blocks;
-        everything else — shallow encoder, decoder, time embedding — is
-        computed fresh at the current t)."""
-        return self._denoise_impl(x_t, t, cond_cache, deep, train=train)[0]
+        (+ `up1` at cache_level=2; the stale features carry the previous
+        step's t through the skipped blocks; everything else — shallow
+        encoder, decoder, time embedding — is computed fresh at the
+        current t)."""
+        return self._denoise_impl(x_t, t, cond_cache, deep,
+                                  cache_level=cache_level, train=train)[0]
 
     # -- fused single-shot forward (reference semantics) -----------------------
 

@@ -88,7 +88,7 @@ class Pansharpener:
 
     def _build(self, method: str, steps: Optional[int],
                legacy: bool, num_frames: Optional[int] = None,
-               refresh_every: int = 2):
+               refresh_every: int = 2, cache_level: int = 1):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
                 step_noise=None, guidance=3.0):
             rng = jax.random.fold_in(jax.random.key(0), seed)
@@ -120,17 +120,20 @@ class Pansharpener:
                 )
             elif method == "ddim_cached":
                 # Cross-step deep-trunk caching (PAPERS.md block-caching
-                # family): refresh down3+middle every `refresh_every`-th NFE,
-                # run the shallow path in between. Training-free; quality
-                # cost measured in BASELINE.md ("block caching").
+                # family): refresh the deep trunk (down3+middle at
+                # cache_level=1, +up1 at cache_level=2) every
+                # `refresh_every`-th NFE, run the shallow path in between.
+                # Training-free; quality cost measured in BASELINE.md
+                # ("Cross-step block caching").
                 if not hasattr(self.model, "denoise_deep"):
                     raise ValueError(
                         f"{type(self.model).__name__} has no deep-trunk "
                         "split; ddim_cached needs denoise_deep/denoise_reuse")
                 full = lambda x, t: self.model.apply(
-                    params, x, t, cache, method=self.model.denoise_deep)
+                    params, x, t, cache, cache_level=cache_level,
+                    method=self.model.denoise_deep)
                 reuse = lambda x, t, deep: self.model.apply(
-                    params, x, t, cache, deep,
+                    params, x, t, cache, deep, cache_level=cache_level,
                     method=self.model.denoise_reuse)
                 res = gaussian.ddim_sample_blockcached(
                     full, reuse, self.ns, rng, pan, ms, shape,
@@ -194,6 +197,7 @@ class Pansharpener:
         x_init=None,
         step_noise=None,
         refresh_every: int = 2,
+        cache_level: int = 1,
     ):
         """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
 
@@ -206,16 +210,17 @@ class Pansharpener:
         # guidance is a traced argument, NOT part of the compile key: a
         # guidance sweep (or per-request guidance in serving) reuses one
         # compiled CFG sampler.
-        # refresh_every only shapes the ddim_cached program — keep it out of
-        # every other method's compile key so sweeps don't re-jit them.
+        # refresh_every/cache_level only shape the ddim_cached program — keep
+        # them out of every other method's compile key so sweeps don't
+        # re-jit them.
         if method != "ddim_cached":
-            refresh_every = 2
+            refresh_every, cache_level = 2, 1
         key = (method, steps, legacy_noise_inversion, num_frames,
-               refresh_every)
+               refresh_every, cache_level)
         if key not in self._compiled:
             self._compiled[key] = self._build(
                 method, steps, legacy_noise_inversion, num_frames,
-                refresh_every,
+                refresh_every, cache_level,
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params

@@ -72,7 +72,11 @@ def main(argv=None):
 
     variants = [("ddim", {"steps": args.steps}),
                 ("ddim_cached", {"steps": args.steps, "refresh_every": 2}),
-                ("ddim_cached", {"steps": args.steps, "refresh_every": 4})]
+                ("ddim_cached", {"steps": args.steps, "refresh_every": 4}),
+                ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
+                                 "cache_level": 2}),
+                ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
+                                 "cache_level": 2})]
     results = {"step": int(state.step), "clip_mode": clip_mode(),
                "steps": args.steps}
     for sensor, ds in val_sets.items():
@@ -82,6 +86,8 @@ def main(argv=None):
         for method, kw in variants:
             tag = method + ("_r%d" % kw["refresh_every"]
                             if "refresh_every" in kw else "")
+            if kw.get("cache_level", 1) != 1:
+                tag += "_L%d" % kw["cache_level"]
             out = np.asarray(sharp.sample(batch, sensor=sensor, method=method,
                                           seed=7, params=state.params, **kw))
             results[f"{tag}_{sensor}"] = score(ds, list(out))
