@@ -28,7 +28,7 @@ emb = jnp.asarray(get_prompt_embedding("WV3"))
 ns = NoiseSchedule.create("cosine", 500)
 
 
-def build(refresh_every: int, level: int = 1):
+def build(refresh_every: int, level: int = 1, forecast: bool = False):
     @jax.jit
     def run(seed):
         rng = jax.random.key(seed)
@@ -55,16 +55,21 @@ def build(refresh_every: int, level: int = 1):
             out = gaussian.ddim_sample_blockcached(
                 full, reuse, ns, jax.random.fold_in(rng, 3),
                 None, None, (B, bands, H, W), steps=STEPS,
-                refresh_every=refresh_every)
+                refresh_every=refresh_every, forecast=forecast)
         return jnp.mean(out)
     return run
 
 
-for r, level in ((1, 1), (2, 1), (4, 1), (2, 2), (4, 2)):
-    run = build(r, level)
+# rows as r:level:forecast triples; override via TMDIFF_BENCH_ROWS, e.g.
+# "1:1:0,2:3:0,4:3:0,4:3:1" to bench the level-3 / forecast variants only
+ROWS = os.environ.get("TMDIFF_BENCH_ROWS",
+                      "1:1:0,2:1:0,4:1:0,2:2:0,4:2:0")
+for row in ROWS.split(","):
+    r, level, fc = (int(v) for v in row.split(":"))
+    run = build(r, level, bool(fc))
     t0 = time.perf_counter(); s = float(run(0)); c = time.perf_counter() - t0
     t0 = time.perf_counter(); s = float(run(1)); d = time.perf_counter() - t0
-    print(f"ddim_cached steps={STEPS} refresh_every={r} level={level}: "
-          f"compile {c:.0f}s, sample {d:.2f}s -> {B / d:.2f} img/s/chip "
-          f"(sink {s:.3f})", flush=True)
+    print(f"ddim_cached steps={STEPS} refresh_every={r} level={level} "
+          f"forecast={fc}: compile {c:.0f}s, sample {d:.2f}s -> "
+          f"{B / d:.2f} img/s/chip (sink {s:.3f})", flush=True)
 print("done")

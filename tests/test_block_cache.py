@@ -103,8 +103,128 @@ def test_deep_split_level2_is_exact_factoring(shared_sharp, batch):
         method=model.denoise_reuse)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(reused))
     with pytest.raises(ValueError, match="cache_level"):
-        model.apply(params, batch["x"], t, cache, cache_level=3,
+        model.apply(params, batch["x"], t, cache, cache_level=4,
                     method=model.denoise_deep)
+
+
+def test_deep_split_level3_is_exact_factoring(shared_sharp, batch):
+    """cache_level=3 (down2 + down3 + middle + up1 + up2 skipped; cache =
+    the up2 output): full forward matches denoise bitwise, same-step reuse
+    matches bitwise."""
+    model, params = shared_sharp.model, shared_sharp.params
+    emb = jnp.zeros(768)
+    t = jnp.array([3, 7])
+    cache = model.apply(
+        params, batch["pan"], batch["ms"], emb,
+        method=model.encode_condition)
+    full = model.apply(params, batch["x"], t, cache, method=model.denoise)
+    out, deep = model.apply(
+        params, batch["x"], t, cache, cache_level=3,
+        method=model.denoise_deep)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+    assert isinstance(deep, jnp.ndarray)  # level 3 carries only h_up2
+    # up2 output lives at half resolution with the level-1 channel width
+    assert deep.shape[-3:-1] == (batch["x"].shape[-2] // 2,
+                                 batch["x"].shape[-1] // 2)
+    reused = model.apply(
+        params, batch["x"], t, cache, deep, cache_level=3,
+        method=model.denoise_reuse)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(reused))
+
+
+def test_forecast_wiring_equals_ddim_when_reuse_recomputes(
+        shared_sharp, batch):
+    """forecast=True changes only WHAT the reuse steps consume — with a
+    reuse_fn that ignores the cache, it must still be exactly ddim_sample
+    (the carried history/extrapolation must not perturb the trajectory)."""
+    sharp = shared_sharp
+    model, params = sharp.model, sharp.params
+    emb = jnp.zeros(768)
+    cache = model.apply(
+        params, batch["pan"], batch["ms"], emb,
+        method=model.encode_condition)
+    denoise = lambda x, t, *_: model.apply(
+        params, x, t, cache, method=model.denoise)
+    full = lambda x, t: model.apply(
+        params, x, t, cache, method=model.denoise_deep)
+    reuse_recompute = lambda x, t, deep: denoise(x, t)
+    rng = jax.random.key(11)
+    shape = batch["ms"].shape
+    ref = gaussian.ddim_sample(
+        denoise, sharp.ns, rng, batch["pan"], batch["ms"], shape, steps=4)
+    out = gaussian.ddim_sample_blockcached(
+        full, reuse_recompute, sharp.ns, rng, batch["pan"], batch["ms"],
+        shape, steps=4, refresh_every=2, forecast=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_forecast_linear_extrapolation_math(shared_sharp):
+    """Pin the forecast rule against a numpy simulation: with a fake model
+    whose trunk is a known function of the refresh timestep and whose x0 is
+    the trunk value, the sampler trajectory determines exactly which deep
+    value every reuse step consumed — chunk 0 must reuse stale (slope 0),
+    later chunks must consume deep_k + (i/r)·(deep_k − deep_{k−1})."""
+    ns = shared_sharp.ns
+    T = ns.num_timesteps
+    steps, r = 8, 4
+    shape = (1, 2, 4, 4)
+
+    def full_fn(x, t):
+        d = (t[0].astype(jnp.float32) / T) * jnp.ones((), jnp.float32)
+        return d * 1e-3 * jnp.ones(shape, jnp.float32), d
+
+    def reuse_fn(x, t, deep):
+        return deep * 1e-3 * jnp.ones(shape, jnp.float32)
+
+    x0_init = jnp.zeros(shape, jnp.float32)
+    out = gaussian.ddim_sample_blockcached(
+        full_fn, reuse_fn, ns, jax.random.key(0), None, None, shape,
+        steps=steps, refresh_every=r, x_init=x0_init, forecast=True)
+
+    # numpy simulation of the documented contract
+    grid = np.round(np.linspace(T, 0, steps + 1)).astype(np.int64)
+    acp = np.asarray(ns.sqrt_alphas_cumprod_prev, np.float64)
+
+    def jump(x, x0, t, s):
+        a_t, a_s = acp[t], acp[s]
+        sig = lambda a: np.sqrt(max(1.0 - a * a, 0.0))
+        ratio = sig(a_s) / max(sig(a_t), 1e-12)
+        return a_s * np.clip(x0, -1.0, 1.0) + ratio * (x - a_t * x0)
+
+    x = np.zeros(shape, np.float64)
+    deep_prev, have_prev = 0.0, 0.0
+    for k in range(steps // r):
+        t0 = grid[k * r]
+        deep = float(t0) / T
+        x = jump(x, deep * 1e-3 * np.ones(shape), t0, grid[k * r + 1])
+        slope = have_prev * (deep - deep_prev)
+        for i in range(1, r):
+            d_i = deep + (i / r) * slope
+            x = jump(x, d_i * 1e-3 * np.ones(shape),
+                     grid[k * r + i], grid[k * r + i + 1])
+        deep_prev, have_prev = deep, 1.0
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-6)
+    # sanity: the forecasted trajectory differs from the stale one
+    stale = gaussian.ddim_sample_blockcached(
+        full_fn, reuse_fn, ns, jax.random.key(0), None, None, shape,
+        steps=steps, refresh_every=r, x_init=x0_init, forecast=False)
+    assert np.abs(np.asarray(out) - np.asarray(stale)).max() > 0
+
+
+def test_pipeline_ddim_cached_level3_forecast(shared_sharp):
+    data = make_arrays(n=2, bands=4, size=16, seed=3)
+    kw = dict(sensor="QB", method="ddim_cached", steps=4, seed=5)
+    out2 = shared_sharp.sample(
+        {"PAN": data["pan"], "MS": data["lms"]},
+        refresh_every=2, cache_level=3, **kw)
+    assert out2.shape == data["lms"].shape
+    assert np.isfinite(out2).all()
+    outf = shared_sharp.sample(
+        {"PAN": data["pan"], "MS": data["lms"]},
+        refresh_every=2, cache_level=3, forecast=True, **kw)
+    assert np.isfinite(outf).all()
+    # forecast kicks in from the second chunk onward, so it must deviate
+    assert np.abs(np.asarray(outf) - np.asarray(out2)).max() > 0
 
 
 def test_pipeline_ddim_cached_level2(shared_sharp):

@@ -75,6 +75,27 @@ def test_engine_serves_distilled_ddim(sharp):
         engine.shutdown()
 
 
+def test_engine_serves_ddim_cached_with_sampler_kw(sharp):
+    """sampler_kw forwards method-specific knobs (ddim_cached's
+    refresh_every / cache_level / forecast) verbatim into
+    Pansharpener.sample — the engine result must match the direct call."""
+    from tmdiff_tpu.serve import InferenceEngine
+
+    kw = {"refresh_every": 2, "cache_level": 3, "forecast": True}
+    engine = InferenceEngine(sharp, method="ddim_cached", steps=4,
+                             max_batch=1, max_delay_ms=50.0, sampler_kw=kw)
+    try:
+        pan, ms = _image(0)
+        out = engine.submit(pan, ms, "QB").result(timeout=120)
+        assert out.shape == ms.shape
+        direct = sharp.sample(
+            {"PAN": pan[None], "MS": ms[None]}, sensor="QB",
+            method="ddim_cached", steps=4, seed=0, **kw)
+        np.testing.assert_allclose(out, direct[0], atol=1e-6)
+    finally:
+        engine.shutdown()
+
+
 def test_engine_cobatches_mixed_guidance(sharp):
     """Requests at different CFG scales ride ONE batch and ONE compiled
     program (per-sample guidance vector); each row matches the direct

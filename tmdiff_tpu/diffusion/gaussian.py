@@ -239,6 +239,7 @@ def ddim_sample_blockcached(
     refresh_every: int = 2,
     clip_mode: str = "static",
     x_init: Optional[jnp.ndarray] = None,
+    forecast: bool = False,
 ):
     """DDIM with cross-step deep-feature caching (training-free NFE cost
     reduction; Δ-DiT / block-caching family, PAPERS.md). The grid is split
@@ -248,6 +249,21 @@ def ddim_sample_blockcached(
     (shallow path consuming the cached trunk). With `refresh_every=1` this is
     exactly `ddim_sample`. One `lax.scan` over chunks; the compiled graph
     holds one full + one reuse forward regardless of step count.
+
+    `forecast=True` linearly extrapolates the trunk instead of reusing it
+    stale (first-order feature forecasting — the "Predict to Skip" /
+    TaylorSeer family, PAPERS.md): with deep_k, deep_{k-1} the features at
+    the current/previous refresh (one chunk = `refresh_every` uniform grid
+    steps apart), reuse step i ∈ [1, refresh_every) of chunk k consumes
+
+        deep_k + (i / refresh_every) · (deep_k − deep_{k−1})
+
+    The first chunk has no history, so its slope is zero (≡ stale reuse);
+    the extrapolation is elementwise over trunk leaves (negligible cost
+    next to a forward). The deep features evolve smoothly along the
+    sampler trajectory, so the first-order hold cuts the staleness error
+    from O(Δ) to O(Δ²) — it's what makes deeper cache boundaries / longer
+    refresh intervals usable (measured in BASELINE.md).
 
     The reference has no analogue — its samplers re-run the whole network
     every NFE (`diffusion_general.py:227-255`). No model type restriction
@@ -266,21 +282,56 @@ def ddim_sample_blockcached(
     pairs = jnp.stack([jnp.asarray(grid[:-1]), jnp.asarray(grid[1:])], axis=1)
     chunks = pairs.reshape(steps // refresh_every, refresh_every, 2)
 
-    def chunk_step(x, ts):
+    def inner_jump(x, t, s, deep):
+        x0 = reuse_fn(x, jnp.full((b,), t, jnp.int32), deep)
+        return ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s)
+
+    if not forecast:
+        def chunk_step(x, ts):
+            t0, s0 = ts[0, 0], ts[0, 1]
+            x0, deep = full_fn(x, jnp.full((b,), t0, jnp.int32))
+            x = ddim_jump(ns, x, clip_x0(x0, clip_mode), t0, s0)
+
+            def inner(x, ts_i):
+                return inner_jump(x, ts_i[0], ts_i[1], deep), None
+
+            if refresh_every > 1:
+                x, _ = jax.lax.scan(inner, x, ts[1:])
+            return x, None
+
+        x, _ = jax.lax.scan(chunk_step, x, chunks)
+        return x
+
+    # forecast: carry the previous refresh's trunk; shape/dtype come from an
+    # abstract trace of full_fn (zeros + have_prev=0 make chunk 0's slope 0)
+    deep_sd = jax.eval_shape(
+        full_fn, jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct((b,), jnp.int32))[1]
+    deep0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), deep_sd)
+    fracs = jnp.asarray(
+        np.arange(1, refresh_every, dtype=np.float32) / refresh_every)
+
+    def chunk_step(carry, ts):
+        x, deep_prev, have_prev = carry
         t0, s0 = ts[0, 0], ts[0, 1]
         x0, deep = full_fn(x, jnp.full((b,), t0, jnp.int32))
         x = ddim_jump(ns, x, clip_x0(x0, clip_mode), t0, s0)
+        slope = jax.tree.map(
+            lambda d, p: (have_prev * (d - p).astype(jnp.float32)).astype(d.dtype),
+            deep, deep_prev)
 
         def inner(x, ts_i):
-            t, s = ts_i[0], ts_i[1]
-            x0 = reuse_fn(x, jnp.full((b,), t, jnp.int32), deep)
-            return ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s), None
+            (t, s), frac = ts_i
+            deep_i = jax.tree.map(
+                lambda d, sl: d + frac.astype(d.dtype) * sl, deep, slope)
+            return inner_jump(x, t, s, deep_i), None
 
         if refresh_every > 1:
-            x, _ = jax.lax.scan(inner, x, ts[1:])
-        return x, None
+            x, _ = jax.lax.scan(inner, x, ((ts[1:, 0], ts[1:, 1]), fracs))
+        return (x, deep, jnp.float32(1.0)), None
 
-    x, _ = jax.lax.scan(chunk_step, x, chunks)
+    (x, _, _), _ = jax.lax.scan(
+        chunk_step, (x, deep0, jnp.float32(0.0)), chunks)
     return x
 
 

@@ -151,9 +151,12 @@ class WavBEST(nn.Module):
           * cache_level=2 — deep = `h_up1` (the up1 output; x_h3 feeds only
             the skipped blocks, so it needn't be carried); skips down3 +
             middle1 + up1.
+          * cache_level=3 — deep = `h_up2` (the up2 output; x_h2 likewise
+            feeds only skipped blocks); skips down2 + down3 + middle1 +
+            up1 + up2 — the whole ≤64²-spatial trunk.
         Returns `(out, deep_out)` with `deep_out` at the same level."""
-        if cache_level not in (1, 2):
-            raise ValueError(f"cache_level must be 1 or 2, got {cache_level}")
+        if cache_level not in (1, 2, 3):
+            raise ValueError(f"cache_level must be 1, 2 or 3, got {cache_level}")
         zemb = cond_cache["zemb"]
         c_h0, c_h1, c_h2, c_h3 = cond_cache["feats"]
         c_s1, c_s2, c_s3 = cond_cache["skips"]
@@ -162,26 +165,31 @@ class WavBEST(nn.Module):
 
         x_h0 = self.conv2(xt, zemb)
         x_h1, _ = self.down1(x_h0, temb, zemb, train=train)
-        x_h2, _ = self.down2(x_h1, temb, zemb, train=train)
 
         # 3-way skip concats are passed as PARTS — the consuming ResBlock
         # slices its kernels instead of materialising the concatenated
         # activation (~0.8 GB of HBM traffic per outer-level concat at 256²;
         # measured 11% faster per decoder conv — ops/modconv.py::conv3d_cat).
-        if deep is not None and cache_level == 2:
+        if deep is not None and cache_level == 3:
             h = deep
         else:
-            if deep is None:
-                x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
-                h = self.middle1(x_h3, temb, zemb, train=train)
+            x_h2, _ = self.down2(x_h1, temb, zemb, train=train)
+            if deep is not None and cache_level == 2:
+                h = deep
             else:
-                x_h3, h = deep
-            if cache_level == 1:
-                deep_out = (x_h3, h)
-            h = self.up1((h, c_h3, x_h3), temb, zemb, c_s3, train=train)
-        if cache_level == 2:
+                if deep is None:
+                    x_h3, _ = self.down3(x_h2, temb, zemb, train=train)
+                    h = self.middle1(x_h3, temb, zemb, train=train)
+                else:
+                    x_h3, h = deep
+                if cache_level == 1:
+                    deep_out = (x_h3, h)
+                h = self.up1((h, c_h3, x_h3), temb, zemb, c_s3, train=train)
+            if cache_level == 2:
+                deep_out = h
+            h = self.up2((h, c_h2, x_h2), temb, zemb, c_s2, train=train)
+        if cache_level == 3:
             deep_out = h
-        h = self.up2((h, c_h2, x_h2), temb, zemb, c_s2, train=train)
         h = self.up3((h, c_h1, x_h1), temb, zemb, c_s1, train=train)
         out = self.final((h, c_h0, x_h0), temb, zemb, train=train)
         return out[..., 0].astype(jnp.float32), deep_out
@@ -198,18 +206,21 @@ class WavBEST(nn.Module):
         of all, so a sampler can refresh them every k-th NFE and run the
         shallow path in between (`denoise_reuse`). cache_level=1 caches
         `(x_h3, h_mid)` (down3+middle skipped on reuse); cache_level=2
-        caches `h_up1` (down3+middle+up1 skipped). Pairs with
-        `diffusion.gaussian.ddim_sample_blockcached`."""
+        caches `h_up1` (down3+middle+up1 skipped); cache_level=3 caches
+        `h_up2` (down2+down3+middle+up1+up2 skipped). Pairs with
+        `diffusion.gaussian.ddim_sample_blockcached` (whose `forecast`
+        option linearly extrapolates the cached trunk instead of reusing
+        it stale — the quality lever that makes the deeper levels usable)."""
         return self._denoise_impl(x_t, t, cond_cache,
                                   cache_level=cache_level, train=train)
 
     def denoise_reuse(self, x_t, t, cond_cache, deep, *, cache_level: int = 1,
                       train: bool = False):
         """Denoise consuming a cached deep trunk: skips `down3` + `middle1`
-        (+ `up1` at cache_level=2; the stale features carry the previous
-        step's t through the skipped blocks; everything else — shallow
-        encoder, decoder, time embedding — is computed fresh at the
-        current t)."""
+        (+ `up1` at cache_level=2, + `down2`/`up2` at cache_level=3; the
+        stale features carry the previous step's t through the skipped
+        blocks; everything else — shallow encoder, decoder, time
+        embedding — is computed fresh at the current t)."""
         return self._denoise_impl(x_t, t, cond_cache, deep,
                                   cache_level=cache_level, train=train)[0]
 

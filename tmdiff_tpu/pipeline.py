@@ -88,7 +88,8 @@ class Pansharpener:
 
     def _build(self, method: str, steps: Optional[int],
                legacy: bool, num_frames: Optional[int] = None,
-               refresh_every: int = 2, cache_level: int = 1):
+               refresh_every: int = 2, cache_level: int = 1,
+               forecast: bool = False):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
                 step_noise=None, guidance=3.0):
             rng = jax.random.fold_in(jax.random.key(0), seed)
@@ -121,8 +122,10 @@ class Pansharpener:
             elif method == "ddim_cached":
                 # Cross-step deep-trunk caching (PAPERS.md block-caching
                 # family): refresh the deep trunk (down3+middle at
-                # cache_level=1, +up1 at cache_level=2) every
-                # `refresh_every`-th NFE, run the shallow path in between.
+                # cache_level=1, +up1 at cache_level=2, +down2/up2 at
+                # cache_level=3) every `refresh_every`-th NFE, run the
+                # shallow path in between; `forecast=True` linearly
+                # extrapolates the trunk instead of reusing it stale.
                 # Training-free; quality cost measured in BASELINE.md
                 # ("Cross-step block caching").
                 if not hasattr(self.model, "denoise_deep"):
@@ -138,7 +141,7 @@ class Pansharpener:
                 res = gaussian.ddim_sample_blockcached(
                     full, reuse, self.ns, rng, pan, ms, shape,
                     steps=steps or 20, refresh_every=refresh_every,
-                    x_init=x_init,
+                    x_init=x_init, forecast=forecast,
                 )
             elif method == "dpm++_cfg":
                 # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
@@ -198,6 +201,7 @@ class Pansharpener:
         step_noise=None,
         refresh_every: int = 2,
         cache_level: int = 1,
+        forecast: bool = False,
     ):
         """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
 
@@ -210,17 +214,17 @@ class Pansharpener:
         # guidance is a traced argument, NOT part of the compile key: a
         # guidance sweep (or per-request guidance in serving) reuses one
         # compiled CFG sampler.
-        # refresh_every/cache_level only shape the ddim_cached program — keep
-        # them out of every other method's compile key so sweeps don't
-        # re-jit them.
+        # refresh_every/cache_level/forecast only shape the ddim_cached
+        # program — keep them out of every other method's compile key so
+        # sweeps don't re-jit them.
         if method != "ddim_cached":
-            refresh_every, cache_level = 2, 1
+            refresh_every, cache_level, forecast = 2, 1, False
         key = (method, steps, legacy_noise_inversion, num_frames,
-               refresh_every, cache_level)
+               refresh_every, cache_level, forecast)
         if key not in self._compiled:
             self._compiled[key] = self._build(
                 method, steps, legacy_noise_inversion, num_frames,
-                refresh_every, cache_level,
+                refresh_every, cache_level, forecast,
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params

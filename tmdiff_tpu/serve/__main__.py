@@ -67,10 +67,20 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--sampler", default="dpm++",
                    choices=["dpm++", "dpm++_noise", "ancestral", "regression",
-                            "ddim", "dpm++_cfg"])
+                            "ddim", "ddim_cached", "dpm++_cfg"])
     p.add_argument("--steps", type=int, default=None,
                    help="sampler step count (e.g. a distilled few-NFE ddim "
                         "deployment: --sampler ddim --steps 1)")
+    p.add_argument("--refresh-every", type=int, default=4,
+                   help="ddim_cached only: refresh the deep trunk every r-th "
+                        "NFE (must divide --steps)")
+    p.add_argument("--cache-level", type=int, default=2,
+                   help="ddim_cached only: trunk depth to cache (1-3; see "
+                        "BASELINE.md 'Cross-step block caching')")
+    p.add_argument("--forecast", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="ddim_cached only: linearly extrapolate the cached "
+                        "trunk instead of reusing it stale")
     p.add_argument("--guidance", type=float, default=SERVE_GUIDANCE_DEFAULT,
                    help="default CFG scale for --sampler dpm++_cfg; requests "
                         "may override per-call via the 'guidance' field")
@@ -148,10 +158,21 @@ def main(argv=None):
         state = ckpt_lib.restore_checkpoint(args.ckpt, state)
     sharp.params = state.ema_params if args.use_ema else state.params
 
+    sampler_kw = None
+    if args.sampler == "ddim_cached":
+        sampler_kw = {"refresh_every": args.refresh_every,
+                      "cache_level": args.cache_level,
+                      "forecast": args.forecast}
+    elif any(a.startswith(("--refresh-every", "--cache-level", "--forecast",
+                           "--no-forecast")) for a in _argv):
+        # same contract as per-request guidance on non-CFG engines: silently
+        # ignoring a caching knob would misrepresent the deployed sampler
+        p.error(f"--refresh-every/--cache-level/--forecast only apply to "
+                f"--sampler ddim_cached (got {args.sampler!r})")
     engine = InferenceEngine(
         sharp, method=args.sampler, steps=args.steps, guidance=args.guidance,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
-        max_queue=args.max_queue,
+        max_queue=args.max_queue, sampler_kw=sampler_kw,
     )
     if args.warmup:
         shape = tuple(int(x) for x in args.warmup.split(","))

@@ -76,6 +76,11 @@ class InferenceEngine:
     max_delay_ms: float = 15.0
     buckets: Optional[Sequence[int]] = None
     max_queue: Optional[int] = None  # pending-request bound; None = unbounded
+    # extra sampler kwargs forwarded verbatim to Pansharpener.sample — the
+    # deployment surface for method-specific knobs (e.g. ddim_cached's
+    # refresh_every / cache_level / forecast). Part of the compile key
+    # downstream, so fixed per engine.
+    sampler_kw: Optional[dict] = None
 
     def __post_init__(self):
         if self.buckets is None:
@@ -216,7 +221,7 @@ class InferenceEngine:
                 seed = self._seed
                 self._seed += 1
             sensors = [r.sensor for r in group] + [group[-1].sensor] * (b - n)
-            kw = {}
+            kw = dict(self.sampler_kw or {})
             if self.method == "dpm++_cfg":
                 # per-sample guidance vector: requests at different scales
                 # share the batch AND the compiled program (scalar vs vector

@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--out", default="/tmp/block_cache_eval.json")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--variants", default="base",
+                   choices=["base", "forecast"])
     args = p.parse_args(argv)
 
     import jax
@@ -70,13 +72,28 @@ def main(argv=None):
         gts = [ds[i]["HR"] for i in range(len(preds))]
         return M.mean_scores(gts, preds, round_to=4)
 
-    variants = [("ddim", {"steps": args.steps}),
-                ("ddim_cached", {"steps": args.steps, "refresh_every": 2}),
-                ("ddim_cached", {"steps": args.steps, "refresh_every": 4}),
-                ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
-                                 "cache_level": 2}),
-                ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
-                                 "cache_level": 2})]
+    if args.variants == "base":
+        variants = [
+            ("ddim", {"steps": args.steps}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 2}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 4}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
+                             "cache_level": 2}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
+                             "cache_level": 2})]
+    else:  # level-3 trunk + linear feature forecasting (r4b)
+        variants = [
+            ("ddim", {"steps": args.steps}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
+                             "cache_level": 3}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
+                             "cache_level": 3}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
+                             "cache_level": 2, "forecast": True}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
+                             "cache_level": 3, "forecast": True}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
+                             "cache_level": 3, "forecast": True})]
     results = {"step": int(state.step), "clip_mode": clip_mode(),
                "steps": args.steps}
     for sensor, ds in val_sets.items():
@@ -88,6 +105,8 @@ def main(argv=None):
                             if "refresh_every" in kw else "")
             if kw.get("cache_level", 1) != 1:
                 tag += "_L%d" % kw["cache_level"]
+            if kw.get("forecast"):
+                tag += "_F"
             out = np.asarray(sharp.sample(batch, sensor=sensor, method=method,
                                           seed=7, params=state.params, **kw))
             results[f"{tag}_{sensor}"] = score(ds, list(out))
