@@ -20,10 +20,13 @@ from tmdiff_tpu.models.clip_text import get_prompt_embedding
 from tmdiff_tpu.diffusion import gaussian
 from tmdiff_tpu.diffusion.schedules import NoiseSchedule
 
-B, H, W = 8, 256, 256
+B = int(os.environ.get("TMDIFF_BENCH_BATCH", "8"))
+H = W = int(os.environ.get("TMDIFF_BENCH_SIZE", "256"))
 bands = int(os.environ.get("TMDIFF_BENCH_BANDS", "8"))
+CHANNELS = tuple(int(c) for c in os.environ.get(
+    "TMDIFF_BENCH_CHANNELS", "32,64,128,256").split(","))
 STEPS = 20
-model = WavBEST(channels=(32, 64, 128, 256), dtype=jnp.bfloat16)
+model = WavBEST(channels=CHANNELS, dtype=jnp.bfloat16)
 emb = jnp.asarray(get_prompt_embedding("WV3"))
 ns = NoiseSchedule.create("cosine", 500)
 

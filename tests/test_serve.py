@@ -337,6 +337,42 @@ def test_serve_preset_supplies_deployment_defaults(tmp_path, monkeypatch):
     assert args.bf16  # untouched flags still come from the preset
 
 
+def test_serve_quality_preset_supplies_cached_sampler(tmp_path, monkeypatch):
+    """config/presets/serve_quality.json deploys the measured quality-free
+    block-caching operating point (ddim_cached, 20 steps, level 3, r=2,
+    forecast off — BASELINE.md 'Level-3 caching + trunk forecasting')."""
+    import argparse
+    import os
+
+    from tmdiff_tpu.config import parse_config
+    from tmdiff_tpu.serve.__main__ import apply_serve_defaults
+
+    preset = os.path.join(
+        os.path.dirname(__file__), "..", "tmdiff_tpu", "config", "presets",
+        "serve_quality.json")
+    monkeypatch.chdir(tmp_path)
+    opt = parse_config(preset, phase="val")
+    assert int(opt["serve_bands"]) == 8
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--sampler", default="dpm++")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--refresh-every", type=int, default=4)
+    p.add_argument("--cache-level", type=int, default=2)
+    p.add_argument("--forecast", action=argparse.BooleanOptionalAction,
+                   default=False)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--warmup", default=None)
+
+    args = p.parse_args([])
+    apply_serve_defaults(args, opt, p, [])
+    assert (args.sampler, args.steps) == ("ddim_cached", 20)
+    assert (args.refresh_every, args.cache_level) == (2, 3)
+    assert args.forecast is False
+    assert args.bf16 and args.use_ema and args.warmup == "8,256,256"
+
+
 def test_serve_preset_overlay_hardening():
     """The overlay honours argparse prefix abbreviations as explicit flags,
     lets --no- boolean forms beat a preset that enables them, and validates
