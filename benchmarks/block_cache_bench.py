@@ -31,7 +31,8 @@ emb = jnp.asarray(get_prompt_embedding("WV3"))
 ns = NoiseSchedule.create("cosine", 500)
 
 
-def build(refresh_every: int, level: int = 1, forecast: bool = False):
+def build(refresh_every: int, level: int = 1, forecast: bool = False,
+          mask=None):
     @jax.jit
     def run(seed):
         rng = jax.random.key(seed)
@@ -58,21 +59,33 @@ def build(refresh_every: int, level: int = 1, forecast: bool = False):
             out = gaussian.ddim_sample_blockcached(
                 full, reuse, ns, jax.random.fold_in(rng, 3),
                 None, None, (B, bands, H, W), steps=STEPS,
-                refresh_every=refresh_every, forecast=forecast)
+                refresh_every=refresh_every, forecast=forecast,
+                refresh_mask=mask)
         return jnp.mean(out)
     return run
 
 
 # rows as r:level:forecast triples; override via TMDIFF_BENCH_ROWS, e.g.
-# "1:1:0,2:3:0,4:3:0,4:3:1" to bench the level-3 / forecast variants only
+# "1:1:0,2:3:0,4:3:0,4:3:1" to bench the level-3 / forecast variants only.
+# TMDIFF_BENCH_MASK="0.4.8.12.15.17.19:3" appends one schedule-aware row
+# (refresh indices '.'-joined : cache_level).
 ROWS = os.environ.get("TMDIFF_BENCH_ROWS",
                       "1:1:0,2:1:0,4:1:0,2:2:0,4:2:0")
+jobs = []
 for row in ROWS.split(","):
     r, level, fc = (int(v) for v in row.split(":"))
-    run = build(r, level, bool(fc))
+    jobs.append((f"refresh_every={r} level={level} forecast={fc}",
+                 build(r, level, bool(fc))))
+if os.environ.get("TMDIFF_BENCH_MASK"):
+    idx_s, level_s = os.environ["TMDIFF_BENCH_MASK"].split(":")
+    idx = [int(v) for v in idx_s.split(".")]
+    mask = [i in idx for i in range(STEPS)]
+    jobs.append((f"mask={idx} level={level_s}",
+                 build(0, int(level_s), mask=mask)))
+for label, run in jobs:
     t0 = time.perf_counter(); s = float(run(0)); c = time.perf_counter() - t0
     t0 = time.perf_counter(); s = float(run(1)); d = time.perf_counter() - t0
-    print(f"ddim_cached steps={STEPS} refresh_every={r} level={level} "
-          f"forecast={fc}: compile {c:.0f}s, sample {d:.2f}s -> "
+    print(f"ddim_cached steps={STEPS} {label}: "
+          f"compile {c:.0f}s, sample {d:.2f}s -> "
           f"{B / d:.2f} img/s/chip (sink {s:.3f})", flush=True)
 print("done")

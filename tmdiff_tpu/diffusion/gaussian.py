@@ -25,7 +25,7 @@ timestep randomness uses threaded `jax.random` keys, not host numpy.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -240,6 +240,7 @@ def ddim_sample_blockcached(
     clip_mode: str = "static",
     x_init: Optional[jnp.ndarray] = None,
     forecast: bool = False,
+    refresh_mask: Optional[Sequence[bool]] = None,
 ):
     """DDIM with cross-step deep-feature caching (training-free NFE cost
     reduction; Δ-DiT / block-caching family, PAPERS.md). The grid is split
@@ -249,6 +250,17 @@ def ddim_sample_blockcached(
     (shallow path consuming the cached trunk). With `refresh_every=1` this is
     exactly `ddim_sample`. One `lax.scan` over chunks; the compiled graph
     holds one full + one reuse forward regardless of step count.
+
+    `refresh_mask` (length `steps`, `mask[0]` must be True) replaces the
+    uniform chunking with an arbitrary refresh schedule — schedule-aware
+    caching: concentrate refreshes where staleness is measured to hurt and
+    coast elsewhere, at any full/reuse budget (e.g. 7 refreshes in 20 steps
+    sits between refresh_every 2 and 4). Implemented as one `lax.scan` over
+    steps whose body `lax.cond`-selects the full or reuse branch, so the
+    compiled graph still holds exactly one of each forward and only the
+    selected branch executes per step. Overrides `refresh_every`; mutually
+    exclusive with `forecast` (a measured quality negative here anyway —
+    BASELINE.md).
 
     `forecast=True` linearly extrapolates the trunk instead of reusing it
     stale (first-order feature forecasting — the "Predict to Skip" /
@@ -269,7 +281,7 @@ def ddim_sample_blockcached(
     every NFE (`diffusion_general.py:227-255`). No model type restriction
     beyond what the two callables encode.
     """
-    if steps % refresh_every:
+    if refresh_mask is None and steps % refresh_every:
         raise ValueError(
             f"steps={steps} must be divisible by refresh_every={refresh_every}")
     T = ns.num_timesteps
@@ -278,8 +290,43 @@ def ddim_sample_blockcached(
         raise ValueError(f"steps={steps} > T={T}: grid degenerates")
     x = x_init if x_init is not None else jax.random.normal(rng, shape)
     b = shape[0]
-    # (n_chunks, refresh_every, 2) of (t, s) jump endpoints
+    # (steps, 2) of (t, s) jump endpoints
     pairs = jnp.stack([jnp.asarray(grid[:-1]), jnp.asarray(grid[1:])], axis=1)
+
+    def deep_zeros():
+        deep_sd = jax.eval_shape(
+            full_fn, jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b,), jnp.int32))[1]
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), deep_sd)
+
+    if refresh_mask is not None:
+        if forecast:
+            raise ValueError("forecast is not supported with refresh_mask")
+        mask = np.asarray(refresh_mask, bool)
+        if mask.shape != (steps,):
+            raise ValueError(
+                f"refresh_mask must have length steps={steps}, "
+                f"got shape {mask.shape}")
+        if not mask[0]:
+            raise ValueError(
+                "refresh_mask[0] must be True — no cached trunk exists yet")
+
+        def mask_step(carry, xs):
+            x, deep = carry
+            (t, s), refresh = xs
+            tb = jnp.full((b,), t, jnp.int32)
+            x0, deep = jax.lax.cond(
+                refresh,
+                lambda x, d: full_fn(x, tb),
+                lambda x, d: (reuse_fn(x, tb, d), d),
+                x, deep)
+            return (ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s), deep), None
+
+        (x, _), _ = jax.lax.scan(
+            mask_step, (x, deep_zeros()),
+            ((pairs[:, 0], pairs[:, 1]), jnp.asarray(mask)))
+        return x
+
     chunks = pairs.reshape(steps // refresh_every, refresh_every, 2)
 
     def inner_jump(x, t, s, deep):
@@ -304,10 +351,7 @@ def ddim_sample_blockcached(
 
     # forecast: carry the previous refresh's trunk; shape/dtype come from an
     # abstract trace of full_fn (zeros + have_prev=0 make chunk 0's slope 0)
-    deep_sd = jax.eval_shape(
-        full_fn, jax.ShapeDtypeStruct(x.shape, x.dtype),
-        jax.ShapeDtypeStruct((b,), jnp.int32))[1]
-    deep0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), deep_sd)
+    deep0 = deep_zeros()
     fracs = jnp.asarray(
         np.arange(1, refresh_every, dtype=np.float32) / refresh_every)
 

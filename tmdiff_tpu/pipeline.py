@@ -89,7 +89,7 @@ class Pansharpener:
     def _build(self, method: str, steps: Optional[int],
                legacy: bool, num_frames: Optional[int] = None,
                refresh_every: int = 2, cache_level: int = 1,
-               forecast: bool = False):
+               forecast: bool = False, refresh_mask=None):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
                 step_noise=None, guidance=3.0):
             rng = jax.random.fold_in(jax.random.key(0), seed)
@@ -142,6 +142,7 @@ class Pansharpener:
                     full, reuse, self.ns, rng, pan, ms, shape,
                     steps=steps or 20, refresh_every=refresh_every,
                     x_init=x_init, forecast=forecast,
+                    refresh_mask=refresh_mask,
                 )
             elif method == "dpm++_cfg":
                 # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
@@ -202,6 +203,7 @@ class Pansharpener:
         refresh_every: int = 2,
         cache_level: int = 1,
         forecast: bool = False,
+        refresh_mask=None,  # ddim_cached: explicit per-step refresh schedule
     ):
         """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
 
@@ -214,17 +216,20 @@ class Pansharpener:
         # guidance is a traced argument, NOT part of the compile key: a
         # guidance sweep (or per-request guidance in serving) reuses one
         # compiled CFG sampler.
-        # refresh_every/cache_level/forecast only shape the ddim_cached
-        # program — keep them out of every other method's compile key so
-        # sweeps don't re-jit them.
+        # refresh_every/cache_level/forecast/refresh_mask only shape the
+        # ddim_cached program — keep them out of every other method's
+        # compile key so sweeps don't re-jit them.
         if method != "ddim_cached":
             refresh_every, cache_level, forecast = 2, 1, False
+            refresh_mask = None
+        if refresh_mask is not None:
+            refresh_mask = tuple(bool(v) for v in refresh_mask)
         key = (method, steps, legacy_noise_inversion, num_frames,
-               refresh_every, cache_level, forecast)
+               refresh_every, cache_level, forecast, refresh_mask)
         if key not in self._compiled:
             self._compiled[key] = self._build(
                 method, steps, legacy_noise_inversion, num_frames,
-                refresh_every, cache_level, forecast,
+                refresh_every, cache_level, forecast, refresh_mask,
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params

@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--variants", default="base",
-                   choices=["base", "forecast"])
+                   choices=["base", "forecast", "masks"])
     args = p.parse_args(argv)
 
     import jax
@@ -81,7 +81,7 @@ def main(argv=None):
                              "cache_level": 2}),
             ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
                              "cache_level": 2})]
-    else:  # level-3 trunk + linear feature forecasting (r4b)
+    elif args.variants == "forecast":  # level-3 trunk + forecasting (r4b)
         variants = [
             ("ddim", {"steps": args.steps}),
             ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
@@ -94,6 +94,24 @@ def main(argv=None):
                              "cache_level": 3, "forecast": True}),
             ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
                              "cache_level": 3, "forecast": True})]
+    else:  # equal-budget refresh schedules (schedule-aware caching, r4b)
+        # 7 refreshes in 20 steps (between r=2's 10 and r=4's 5), level 3:
+        # does WHERE the refreshes sit move the staleness cost?
+        def _mask(idx):
+            m = [False] * args.steps
+            for i in idx:
+                m[i] = True
+            return tuple(m)
+
+        schedules = {
+            "uni7": (0, 3, 6, 9, 12, 15, 18),      # uniform control
+            "late7": (0, 4, 8, 12, 15, 17, 19),    # dense near t=0
+            "early7": (0, 2, 4, 6, 9, 13, 17),     # dense near t=T
+        }
+        variants = [("ddim", {"steps": args.steps})] + [
+            ("ddim_cached", {"steps": args.steps, "cache_level": 3,
+                             "refresh_mask": _mask(idx), "_tag": name})
+            for name, idx in schedules.items()]
     results = {"step": int(state.step), "clip_mode": clip_mode(),
                "steps": args.steps}
     for sensor, ds in val_sets.items():
@@ -101,12 +119,15 @@ def main(argv=None):
         batch = ds.batch(idx)
         results[f"lms_{sensor}"] = score(ds, [ds[i]["MS"] for i in idx])
         for method, kw in variants:
+            kw = dict(kw)
             tag = method + ("_r%d" % kw["refresh_every"]
                             if "refresh_every" in kw else "")
             if kw.get("cache_level", 1) != 1:
                 tag += "_L%d" % kw["cache_level"]
             if kw.get("forecast"):
                 tag += "_F"
+            if "_tag" in kw:
+                tag += "_" + kw.pop("_tag")
             out = np.asarray(sharp.sample(batch, sensor=sensor, method=method,
                                           seed=7, params=state.params, **kw))
             results[f"{tag}_{sensor}"] = score(ds, list(out))
