@@ -256,6 +256,40 @@ def test_refresh_mask_generalizes_uniform_chunking(shared_sharp, batch):
             *common, steps=4, refresh_mask=[True] * 4, forecast=True)
 
 
+def test_refresh_mask_is_runtime_data(shared_sharp, batch):
+    """The mask may be a TRACED argument: jit once, feed any schedule of
+    that length — no retrace (what makes on-device schedule search cheap,
+    tools/schedule_search.py). Static shape errors still surface."""
+    sharp = shared_sharp
+    model, params = sharp.model, sharp.params
+    emb = jnp.zeros(768)
+    cache = model.apply(
+        params, batch["pan"], batch["ms"], emb,
+        method=model.encode_condition)
+    full = lambda x, t: model.apply(
+        params, x, t, cache, method=model.denoise_deep)
+    reuse = lambda x, t, deep: model.apply(
+        params, x, t, cache, deep, method=model.denoise_reuse)
+    rng = jax.random.key(11)
+    shape = batch["ms"].shape
+    common = (full, reuse, sharp.ns, rng, batch["pan"], batch["ms"], shape)
+
+    f = jax.jit(lambda m: gaussian.ddim_sample_blockcached(
+        *common, steps=4, refresh_mask=m))
+    ref = gaussian.ddim_sample_blockcached(
+        *common, steps=4, refresh_mask=[True, False, True, False])
+    out = f(jnp.array([True, False, True, False]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    ref2 = gaussian.ddim_sample_blockcached(
+        *common, steps=4, refresh_mask=[True, True, False, True])
+    out2 = f(jnp.array([True, True, False, True]))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-6)
+    if hasattr(f, "_cache_size"):
+        assert f._cache_size() == 1  # two schedules, one compile
+    with pytest.raises(ValueError, match="length steps"):
+        f(jnp.array([True, False]))
+
+
 def test_pipeline_ddim_cached_refresh_mask(shared_sharp):
     data = make_arrays(n=2, bands=4, size=16, seed=3)
     kw = dict(sensor="QB", method="ddim_cached", steps=4, seed=5,
@@ -266,14 +300,27 @@ def test_pipeline_ddim_cached_refresh_mask(shared_sharp):
         {"PAN": data["pan"], "MS": data["lms"]},
         refresh_mask=(True, False, True, False), **kw)
     # the mask encodes the same schedule -> same output through the
-    # public surface (list/tuple mask forms share one compiled program)
+    # public surface
     np.testing.assert_allclose(np.asarray(masked), np.asarray(uniform),
                                atol=1e-6)
+    # mask VALUES are runtime data: a different schedule of the same
+    # length must reuse the already-compiled program (no new cache key)
+    n_compiled = len(shared_sharp._compiled)
     irregular = shared_sharp.sample(
         {"PAN": data["pan"], "MS": data["lms"]},
         refresh_mask=[True, False, False, True], **kw)
+    assert len(shared_sharp._compiled) == n_compiled
     assert np.isfinite(np.asarray(irregular)).all()
     assert np.abs(np.asarray(irregular) - np.asarray(uniform)).max() > 0
+    # host-side eager validation through the public surface
+    with pytest.raises(ValueError, match="refresh_mask\\[0\\]"):
+        shared_sharp.sample(
+            {"PAN": data["pan"], "MS": data["lms"]},
+            refresh_mask=[False, True, True, True], **kw)
+    with pytest.raises(ValueError, match="length steps"):
+        shared_sharp.sample(
+            {"PAN": data["pan"], "MS": data["lms"]},
+            refresh_mask=[True, False], **kw)
 
 
 def test_pipeline_ddim_cached_level3_forecast(shared_sharp):

@@ -428,3 +428,61 @@ def test_serve_preset_overlay_hardening():
     args = p.parse_args([])
     with pytest.raises(SystemExit):
         apply_serve_defaults(args, {"serve": {"steps": True}}, p, [])
+
+
+def test_build_sampler_kw_refresh_mask():
+    """--refresh-mask parses a 0/1 (or comma'd) string into the tuple the
+    engine forwards; malformed masks, length/leading-1 violations, the
+    forecast conflict, and caching knobs on non-caching samplers all error
+    at startup — before any model/checkpoint load."""
+    import argparse
+
+    from tmdiff_tpu.serve.__main__ import build_sampler_kw
+
+    p = argparse.ArgumentParser()
+
+    def ns(**over):
+        base = dict(sampler="ddim_cached", steps=4, refresh_every=4,
+                    cache_level=3, forecast=False, refresh_mask=None)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    kw = build_sampler_kw(ns(refresh_mask="1001"), p, [])
+    assert kw["refresh_mask"] == (True, False, False, True)
+    # comma-separated form from schedule_search JSON output
+    kw = build_sampler_kw(ns(refresh_mask="1,0,0,1"), p, [])
+    assert kw["refresh_mask"] == (True, False, False, True)
+    # no mask -> plain uniform knobs, no refresh_mask key
+    kw = build_sampler_kw(ns(), p, [])
+    assert "refresh_mask" not in kw and kw["refresh_every"] == 4
+
+    for bad in ("10x1", "", "10"):  # junk chars / empty / wrong length
+        with pytest.raises(SystemExit):
+            build_sampler_kw(ns(refresh_mask=bad), p, [])
+    with pytest.raises(SystemExit):  # leading 0
+        build_sampler_kw(ns(refresh_mask="0110"), p, [])
+    with pytest.raises(SystemExit):  # forecast conflict
+        build_sampler_kw(ns(refresh_mask="1001", forecast=True), p, [])
+    with pytest.raises(SystemExit):  # caching knob on a non-caching sampler
+        build_sampler_kw(ns(sampler="dpm++"), p, ["--refresh-mask=1001"])
+    # non-caching sampler without caching flags is fine
+    assert build_sampler_kw(ns(sampler="dpm++"), p, []) is None
+
+
+def test_engine_serves_searched_refresh_mask(sharp):
+    """An engine deployed with a searched refresh schedule (sampler_kw
+    refresh_mask) matches the direct Pansharpener call with the same mask."""
+    from tmdiff_tpu.serve import InferenceEngine
+
+    kw = {"cache_level": 3, "refresh_mask": (True, False, False, True)}
+    engine = InferenceEngine(sharp, method="ddim_cached", steps=4,
+                             max_batch=1, max_delay_ms=50.0, sampler_kw=kw)
+    try:
+        pan, ms = _image(0)
+        out = engine.submit(pan, ms, "QB").result(timeout=120)
+        direct = sharp.sample(
+            {"PAN": pan[None], "MS": ms[None]}, sensor="QB",
+            method="ddim_cached", steps=4, seed=0, **kw)
+        np.testing.assert_allclose(out, direct[0], atol=1e-6)
+    finally:
+        engine.shutdown()

@@ -262,6 +262,17 @@ def ddim_sample_blockcached(
     exclusive with `forecast` (a measured quality negative here anyway —
     BASELINE.md).
 
+    The mask may be a TRACED `(steps,)` bool array (i.e. this function may
+    be jitted with the mask as an argument): the schedule is then pure
+    runtime data and ONE compiled program serves every schedule of that
+    length — which is what makes on-device schedule search cheap
+    (tools/schedule_search.py evaluates hundreds of candidate masks against
+    a single compile). Only the static shape is checked in that case; the
+    `mask[0] is True` contract cannot be read off a tracer, so traced
+    callers must enforce it themselves (a False first entry silently
+    consumes the all-zeros trunk placeholder) — `Pansharpener.sample`
+    validates it eagerly on the host before tracing.
+
     `forecast=True` linearly extrapolates the trunk instead of reusing it
     stale (first-order feature forecasting — the "Predict to Skip" /
     TaylorSeer family, PAPERS.md): with deep_k, deep_{k-1} the features at
@@ -302,14 +313,24 @@ def ddim_sample_blockcached(
     if refresh_mask is not None:
         if forecast:
             raise ValueError("forecast is not supported with refresh_mask")
-        mask = np.asarray(refresh_mask, bool)
-        if mask.shape != (steps,):
-            raise ValueError(
-                f"refresh_mask must have length steps={steps}, "
-                f"got shape {mask.shape}")
-        if not mask[0]:
-            raise ValueError(
-                "refresh_mask[0] must be True — no cached trunk exists yet")
+        if isinstance(refresh_mask, jax.core.Tracer):
+            # runtime schedule: shape is static, values are not — the
+            # mask[0]=True contract is the (host-side) caller's to enforce
+            if refresh_mask.shape != (steps,):
+                raise ValueError(
+                    f"refresh_mask must have length steps={steps}, "
+                    f"got shape {refresh_mask.shape}")
+            mask = jnp.asarray(refresh_mask, jnp.bool_)
+        else:
+            mask = np.asarray(refresh_mask, bool)
+            if mask.shape != (steps,):
+                raise ValueError(
+                    f"refresh_mask must have length steps={steps}, "
+                    f"got shape {mask.shape}")
+            if not mask[0]:
+                raise ValueError(
+                    "refresh_mask[0] must be True — no cached trunk exists "
+                    "yet")
 
         def mask_step(carry, xs):
             x, deep = carry

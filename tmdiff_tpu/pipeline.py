@@ -89,9 +89,9 @@ class Pansharpener:
     def _build(self, method: str, steps: Optional[int],
                legacy: bool, num_frames: Optional[int] = None,
                refresh_every: int = 2, cache_level: int = 1,
-               forecast: bool = False, refresh_mask=None):
+               forecast: bool = False, has_mask: bool = False):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
-                step_noise=None, guidance=3.0):
+                step_noise=None, guidance=3.0, refresh_mask=None):
             rng = jax.random.fold_in(jax.random.key(0), seed)
             shape = ms.shape
             cache = self._encode(params, pan, ms, prompt_emb)
@@ -142,7 +142,10 @@ class Pansharpener:
                     full, reuse, self.ns, rng, pan, ms, shape,
                     steps=steps or 20, refresh_every=refresh_every,
                     x_init=x_init, forecast=forecast,
-                    refresh_mask=refresh_mask,
+                    # traced (steps,) bool schedule — runtime data, so one
+                    # compiled program serves every mask of this length
+                    # (schedule sweeps / search recompile nothing)
+                    refresh_mask=refresh_mask if has_mask else None,
                 )
             elif method == "dpm++_cfg":
                 # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
@@ -216,20 +219,38 @@ class Pansharpener:
         # guidance is a traced argument, NOT part of the compile key: a
         # guidance sweep (or per-request guidance in serving) reuses one
         # compiled CFG sampler.
-        # refresh_every/cache_level/forecast/refresh_mask only shape the
-        # ddim_cached program — keep them out of every other method's
-        # compile key so sweeps don't re-jit them.
+        # refresh_every/cache_level/forecast only shape the ddim_cached
+        # program — keep them out of every other method's compile key so
+        # sweeps don't re-jit them. refresh_mask VALUES are runtime data
+        # (traced argument): only presence/absence is in the key, so any
+        # number of schedules of one length share a single compile.
         if method != "ddim_cached":
             refresh_every, cache_level, forecast = 2, 1, False
             refresh_mask = None
         if refresh_mask is not None:
-            refresh_mask = tuple(bool(v) for v in refresh_mask)
+            mask = np.asarray(refresh_mask, bool)
+            n_steps = steps or 20
+            if mask.shape != (n_steps,):
+                raise ValueError(
+                    f"refresh_mask must have length steps={n_steps}, "
+                    f"got shape {mask.shape}")
+            if not mask[0]:
+                raise ValueError(
+                    "refresh_mask[0] must be True — no cached trunk exists "
+                    "yet")
+            if forecast:
+                raise ValueError("forecast is not supported with "
+                                 "refresh_mask")
+            refresh_mask = jnp.asarray(mask)
+            refresh_every = 2  # ignored under a mask; normalized for the key
         key = (method, steps, legacy_noise_inversion, num_frames,
-               refresh_every, cache_level, forecast, refresh_mask)
+               refresh_every, cache_level, forecast,
+               refresh_mask is not None)
         if key not in self._compiled:
             self._compiled[key] = self._build(
                 method, steps, legacy_noise_inversion, num_frames,
-                refresh_every, cache_level, forecast, refresh_mask,
+                refresh_every, cache_level, forecast,
+                has_mask=refresh_mask is not None,
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params
@@ -250,6 +271,9 @@ class Pansharpener:
 
             pan, ms, x_init, step_noise = map(put, (pan, ms, x_init, step_noise))
             prompt_emb = jax.device_put(prompt_emb, replicated(self.mesh))
+            if refresh_mask is not None:
+                refresh_mask = jax.device_put(
+                    refresh_mask, replicated(self.mesh))
             if params is None:
                 if self._replicated_params is None:
                     self._replicated_params = jax.device_put(
@@ -262,6 +286,7 @@ class Pansharpener:
             # scalar, or per-sample (B,) guidance (mixed-scale co-batching);
             # traced either way — scalar↔vector is the only retrace boundary
             jnp.asarray(guidance, jnp.float32),
+            refresh_mask,
         )
         if method == "ancestral" and num_frames:
             final, frames = out

@@ -59,6 +59,45 @@ def apply_serve_defaults(args, opt, parser, argv) -> None:
         setattr(args, dest, val)
 
 
+def build_sampler_kw(args, parser, argv):
+    """Method-specific sampler knobs → the engine's `sampler_kw` dict.
+
+    ddim_cached takes refresh_every / cache_level / forecast, plus an
+    optional --refresh-mask 0/1 string (a searched schedule from
+    tools/schedule_search.py; the mask value is runtime data downstream —
+    `Pansharpener.sample` traces it as an argument, so redeploying with a
+    different schedule reuses the already-compiled program). Any caching
+    knob on a non-caching sampler is an error, not a silent no-op — same
+    contract as per-request guidance on non-CFG engines."""
+    if args.sampler == "ddim_cached":
+        kw = {"refresh_every": args.refresh_every,
+              "cache_level": args.cache_level,
+              "forecast": args.forecast}
+        if args.refresh_mask is not None:
+            digits = args.refresh_mask.replace(",", "")
+            if not digits or set(digits) - {"0", "1"}:
+                parser.error(f"--refresh-mask must be a 0/1 string, got "
+                             f"{args.refresh_mask!r}")
+            mask = tuple(c == "1" for c in digits)
+            n_steps = args.steps or 20
+            if len(mask) != n_steps or not mask[0]:
+                parser.error(
+                    f"--refresh-mask needs length {n_steps} (= steps) with "
+                    f"a leading 1, got {len(mask)} chars")
+            if args.forecast:
+                parser.error("--refresh-mask and --forecast are mutually "
+                             "exclusive")
+            kw["refresh_mask"] = mask
+        return kw
+    if any(a.startswith(("--refresh-every", "--cache-level", "--forecast",
+                         "--no-forecast", "--refresh-mask"))
+           for a in (argv or [])):
+        parser.error(
+            f"--refresh-every/--cache-level/--forecast/--refresh-mask "
+            f"only apply to --sampler ddim_cached (got {args.sampler!r})")
+    return None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", required=True)
@@ -81,6 +120,11 @@ def main(argv=None):
                    default=False,
                    help="ddim_cached only: linearly extrapolate the cached "
                         "trunk instead of reusing it stale")
+    p.add_argument("--refresh-mask", default=None,
+                   help="ddim_cached only: explicit per-step refresh "
+                        "schedule as a 0/1 string of length --steps (first "
+                        "char must be 1), e.g. a searched schedule from "
+                        "tools/schedule_search.py; overrides --refresh-every")
     p.add_argument("--guidance", type=float, default=SERVE_GUIDANCE_DEFAULT,
                    help="default CFG scale for --sampler dpm++_cfg; requests "
                         "may override per-call via the 'guidance' field")
@@ -121,6 +165,8 @@ def main(argv=None):
 
     opt = parse_config(args.config, phase="val")
     apply_serve_defaults(args, opt, p, _argv)
+    # validate the sampler recipe BEFORE the expensive model/checkpoint load
+    sampler_kw = build_sampler_kw(args, p, _argv)
     sched_opt = opt["model"]["beta_schedule"]["val"]
     channels = tuple(opt["model"]["unet"]["channel_multiplier"] or (32, 64, 128, 256))
     model = WavBEST(channels=channels,
@@ -158,17 +204,6 @@ def main(argv=None):
         state = ckpt_lib.restore_checkpoint(args.ckpt, state)
     sharp.params = state.ema_params if args.use_ema else state.params
 
-    sampler_kw = None
-    if args.sampler == "ddim_cached":
-        sampler_kw = {"refresh_every": args.refresh_every,
-                      "cache_level": args.cache_level,
-                      "forecast": args.forecast}
-    elif any(a.startswith(("--refresh-every", "--cache-level", "--forecast",
-                           "--no-forecast")) for a in _argv):
-        # same contract as per-request guidance on non-CFG engines: silently
-        # ignoring a caching knob would misrepresent the deployed sampler
-        p.error(f"--refresh-every/--cache-level/--forecast only apply to "
-                f"--sampler ddim_cached (got {args.sampler!r})")
     engine = InferenceEngine(
         sharp, method=args.sampler, steps=args.steps, guidance=args.guidance,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
