@@ -100,7 +100,14 @@ def main(argv=None):
     state = ckpt_lib.restore_checkpoint(ckpt_dir, state0)
     print(f"restored step {int(state.step)} from {ckpt_dir}", flush=True)
 
-    batches = {s: ds.batch(np.arange(len(ds))) for s, ds in val_sets.items()}
+    # stage the val pixels on device ONCE: sample() calls jnp.asarray on the
+    # batch, a no-op for device arrays — the greedy loop's ~hundreds of calls
+    # must not re-push pixels through the bandwidth-limited tunnel each time
+    import jax.numpy as jnp
+
+    batches = {
+        s: {k: jnp.asarray(v) for k, v in ds.batch(np.arange(len(ds))).items()}
+        for s, ds in val_sets.items()}
     gts = {s: [ds[i]["HR"] for i in range(len(ds))]
            for s, ds in val_sets.items()}
 
