@@ -32,9 +32,11 @@ ns = NoiseSchedule.create("cosine", 500)
 
 
 def build(refresh_every: int, level: int = 1, forecast: bool = False,
-          mask=None):
+          mask=None, traced_mask=None):
+    # traced_mask goes in as a jit ARGUMENT (runtime data -> the cond-scan
+    # search program); a concrete `mask` specializes the compiled program.
     @jax.jit
-    def run(seed):
+    def run(seed, tmask=None):
         rng = jax.random.key(seed)
         x1 = jnp.zeros((1, bands, H, W), jnp.float32)
         params = model.init(rng, x1, jnp.zeros((1,), jnp.int32),
@@ -60,15 +62,21 @@ def build(refresh_every: int, level: int = 1, forecast: bool = False,
                 full, reuse, ns, jax.random.fold_in(rng, 3),
                 None, None, (B, bands, H, W), steps=STEPS,
                 refresh_every=refresh_every, forecast=forecast,
-                refresh_mask=mask)
+                refresh_mask=tmask if tmask is not None else mask)
         return jnp.mean(out)
+    if traced_mask is not None:
+        arr = jnp.asarray(traced_mask)
+        return lambda seed: run(seed, arr)
     return run
 
 
 # rows as r:level:forecast triples; override via TMDIFF_BENCH_ROWS, e.g.
 # "1:1:0,2:3:0,4:3:0,4:3:1" to bench the level-3 / forecast variants only.
 # TMDIFF_BENCH_MASK="0.4.8.12.15.17.19:3" appends one schedule-aware row
-# (refresh indices '.'-joined : cache_level).
+# (refresh indices '.'-joined : cache_level). The mask is concrete here, so
+# it measures the SPECIALIZED program (runs of full/reuse scans — the
+# deployment path); set TMDIFF_BENCH_MASK_TRACED=1 to measure the traced-
+# mask cond-scan program instead (what schedule search runs against).
 ROWS = os.environ.get("TMDIFF_BENCH_ROWS",
                       "1:1:0,2:1:0,4:1:0,2:2:0,4:2:0")
 jobs = []
@@ -80,8 +88,12 @@ if os.environ.get("TMDIFF_BENCH_MASK"):
     idx_s, level_s = os.environ["TMDIFF_BENCH_MASK"].split(":")
     idx = [int(v) for v in idx_s.split(".")]
     mask = [i in idx for i in range(STEPS)]
-    jobs.append((f"mask={idx} level={level_s}",
-                 build(0, int(level_s), mask=mask)))
+    traced = bool(os.environ.get("TMDIFF_BENCH_MASK_TRACED"))
+    jobs.append((f"mask={idx} level={level_s} "
+                 f"({'traced' if traced else 'specialized'})",
+                 build(0, int(level_s),
+                       mask=None if traced else mask,
+                       traced_mask=mask if traced else None)))
 for label, run in jobs:
     t0 = time.perf_counter(); s = float(run(0)); c = time.perf_counter() - t0
     t0 = time.perf_counter(); s = float(run(1)); d = time.perf_counter() - t0

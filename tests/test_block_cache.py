@@ -323,6 +323,62 @@ def test_pipeline_ddim_cached_refresh_mask(shared_sharp):
             refresh_mask=[True, False], **kw)
 
 
+def test_static_mask_specialization_matches_traced(shared_sharp, batch):
+    """A concrete mask SPECIALIZES the program — runs of consecutive
+    full/reuse steps become dedicated scans with no per-step branch (the
+    deployment path; the traced-mask cond-scan pays a measured ~15%
+    dispatch tax on TPU, BASELINE.md). Same schedule, same trajectory."""
+    sharp = shared_sharp
+    model, params = sharp.model, sharp.params
+    emb = jnp.zeros(768)
+    cache = model.apply(
+        params, batch["pan"], batch["ms"], emb,
+        method=model.encode_condition)
+    full = lambda x, t: model.apply(
+        params, x, t, cache, method=model.denoise_deep)
+    reuse = lambda x, t, deep: model.apply(
+        params, x, t, cache, deep, method=model.denoise_reuse)
+    rng = jax.random.key(11)
+    shape = batch["ms"].shape
+    common = (full, reuse, sharp.ns, rng, batch["pan"], batch["ms"], shape)
+    # irregular schedule: full-runs of length 1 and 2, reuse-runs of 1 and 2
+    mask = [True, False, False, True, True, False]
+    spec = gaussian.ddim_sample_blockcached(
+        *common, steps=6, refresh_mask=mask)
+    traced = jax.jit(lambda m: gaussian.ddim_sample_blockcached(
+        *common, steps=6, refresh_mask=m))(jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(traced),
+                               atol=1e-6)
+
+
+def test_pipeline_refresh_mask_static(shared_sharp):
+    """refresh_mask_static=True bakes the schedule into the compile key:
+    outputs match the traced-mask program, each distinct schedule is its
+    own compile (the price of specialization — deployments serve ONE)."""
+    data = make_arrays(n=2, bands=4, size=16, seed=3)
+    b = {"PAN": data["pan"], "MS": data["lms"]}
+    kw = dict(sensor="QB", method="ddim_cached", steps=4, seed=5,
+              cache_level=3)
+    mask = (True, False, False, True)
+    traced = shared_sharp.sample(b, refresh_mask=mask, **kw)
+    n0 = len(shared_sharp._compiled)
+    static = shared_sharp.sample(
+        b, refresh_mask=mask, refresh_mask_static=True, **kw)
+    assert len(shared_sharp._compiled) == n0 + 1
+    np.testing.assert_allclose(np.asarray(static), np.asarray(traced),
+                               atol=1e-6)
+    # same static schedule again -> cached program, no new compile
+    again = shared_sharp.sample(
+        b, refresh_mask=list(mask), refresh_mask_static=True, **kw)
+    assert len(shared_sharp._compiled) == n0 + 1
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(static))
+    # a different static schedule is a new specialization
+    shared_sharp.sample(
+        b, refresh_mask=(True, True, False, True),
+        refresh_mask_static=True, **kw)
+    assert len(shared_sharp._compiled) == n0 + 2
+
+
 def test_pipeline_ddim_cached_level3_forecast(shared_sharp):
     data = make_arrays(n=2, bands=4, size=16, seed=3)
     kw = dict(sensor="QB", method="ddim_cached", steps=4, seed=5)

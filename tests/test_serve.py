@@ -449,6 +449,8 @@ def test_build_sampler_kw_refresh_mask():
 
     kw = build_sampler_kw(ns(refresh_mask="1001"), p, [])
     assert kw["refresh_mask"] == (True, False, False, True)
+    # a deployment serves ONE schedule -> it is baked into the program
+    assert kw["refresh_mask_static"] is True
     # comma-separated form from schedule_search JSON output
     kw = build_sampler_kw(ns(refresh_mask="1,0,0,1"), p, [])
     assert kw["refresh_mask"] == (True, False, False, True)
@@ -474,7 +476,8 @@ def test_engine_serves_searched_refresh_mask(sharp):
     refresh_mask) matches the direct Pansharpener call with the same mask."""
     from tmdiff_tpu.serve import InferenceEngine
 
-    kw = {"cache_level": 3, "refresh_mask": (True, False, False, True)}
+    kw = {"cache_level": 3, "refresh_mask": (True, False, False, True),
+          "refresh_mask_static": True}  # the deployed (specialized) path
     engine = InferenceEngine(sharp, method="ddim_cached", steps=4,
                              max_batch=1, max_delay_ms=50.0, sampler_kw=kw)
     try:

@@ -273,6 +273,17 @@ def ddim_sample_blockcached(
     consumes the all-zeros trunk placeholder) — `Pansharpener.sample`
     validates it eagerly on the host before tracing.
 
+    A CONCRETE mask instead *specializes* the compiled program to that one
+    schedule: steps are grouped into runs of consecutive full / reuse calls
+    and each run is one `lax.scan` — no per-step `lax.cond`. The traced-mask
+    program pays a measured ~15% per-step branch-dispatch tax over the
+    specialized one (BASELINE.md "Searched refresh schedules"), so searches
+    trace the mask (hundreds of schedules, one compile) while deployments
+    bake it in (one schedule, full speed). Compile cost scales with the
+    number of runs (one full + one reuse body per alternation), so a
+    clustered searched schedule compiles in a handful of bodies while the
+    pathological alternating mask degenerates to per-step bodies.
+
     `forecast=True` linearly extrapolates the trunk instead of reusing it
     stale (first-order feature forecasting — the "Predict to Skip" /
     TaylorSeer family, PAPERS.md): with deep_k, deep_{k-1} the features at
@@ -331,6 +342,32 @@ def ddim_sample_blockcached(
                 raise ValueError(
                     "refresh_mask[0] must be True — no cached trunk exists "
                     "yet")
+            # concrete mask → specialized program: one scan per run of
+            # consecutive full / reuse steps, no per-step branch
+            bounds = [0] + [i for i in range(1, steps)
+                            if mask[i] != mask[i - 1]] + [steps]
+
+            def full_run(carry, ts):
+                x, deep = carry
+                t, s = ts
+                x0, deep = full_fn(x, jnp.full((b,), t, jnp.int32))
+                return (ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s),
+                        deep), None
+
+            deep = deep_zeros()
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                run = pairs[lo:hi]
+                if mask[lo]:
+                    (x, deep), _ = jax.lax.scan(full_run, (x, deep), run)
+                else:
+                    def reuse_run(x, ts, deep=deep):
+                        t, s = ts
+                        x0 = reuse_fn(x, jnp.full((b,), t, jnp.int32), deep)
+                        return ddim_jump(ns, x, clip_x0(x0, clip_mode), t,
+                                         s), None
+
+                    x, _ = jax.lax.scan(reuse_run, x, run)
+            return x
 
         def mask_step(carry, xs):
             x, deep = carry

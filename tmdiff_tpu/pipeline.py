@@ -89,7 +89,8 @@ class Pansharpener:
     def _build(self, method: str, steps: Optional[int],
                legacy: bool, num_frames: Optional[int] = None,
                refresh_every: int = 2, cache_level: int = 1,
-               forecast: bool = False, has_mask: bool = False):
+               forecast: bool = False, has_mask: bool = False,
+               static_mask=None):
         def run(params, pan, ms, prompt_emb, seed, x_init=None,
                 step_noise=None, guidance=3.0, refresh_mask=None):
             rng = jax.random.fold_in(jax.random.key(0), seed)
@@ -144,8 +145,13 @@ class Pansharpener:
                     x_init=x_init, forecast=forecast,
                     # traced (steps,) bool schedule — runtime data, so one
                     # compiled program serves every mask of this length
-                    # (schedule sweeps / search recompile nothing)
-                    refresh_mask=refresh_mask if has_mask else None,
+                    # (schedule sweeps / search recompile nothing); a
+                    # static_mask instead SPECIALIZES the program to one
+                    # schedule (deployment: no per-step branch tax)
+                    refresh_mask=(
+                        refresh_mask if has_mask
+                        else np.asarray(static_mask, bool)
+                        if static_mask is not None else None),
                 )
             elif method == "dpm++_cfg":
                 # CFG over the MS conditioning (`sample_by_dpmsolver_guidance`,
@@ -207,6 +213,9 @@ class Pansharpener:
         cache_level: int = 1,
         forecast: bool = False,
         refresh_mask=None,  # ddim_cached: explicit per-step refresh schedule
+        refresh_mask_static: bool = False,  # bake the schedule into the
+        # compiled program (deployment: one schedule, no branch tax) instead
+        # of tracing it (search: many schedules, one compile)
     ):
         """Pansharpen one batch {PAN, MS[, …]} → images in [0, 1].
 
@@ -227,6 +236,7 @@ class Pansharpener:
         if method != "ddim_cached":
             refresh_every, cache_level, forecast = 2, 1, False
             refresh_mask = None
+        static_mask = None
         if refresh_mask is not None:
             mask = np.asarray(refresh_mask, bool)
             n_steps = steps or 20
@@ -241,16 +251,23 @@ class Pansharpener:
             if forecast:
                 raise ValueError("forecast is not supported with "
                                  "refresh_mask")
-            refresh_mask = jnp.asarray(mask)
+            if refresh_mask_static:
+                # the schedule becomes part of the compile key: the program
+                # is specialized to it (runs of full/reuse scans, no
+                # per-step branch — the deployment-speed path)
+                static_mask, refresh_mask = tuple(bool(v) for v in mask), None
+            else:
+                refresh_mask = jnp.asarray(mask)
             refresh_every = 2  # ignored under a mask; normalized for the key
         key = (method, steps, legacy_noise_inversion, num_frames,
                refresh_every, cache_level, forecast,
-               refresh_mask is not None)
+               refresh_mask is not None, static_mask)
         if key not in self._compiled:
             self._compiled[key] = self._build(
                 method, steps, legacy_noise_inversion, num_frames,
                 refresh_every, cache_level, forecast,
                 has_mask=refresh_mask is not None,
+                static_mask=static_mask,
             )
         prompt_emb = self.prompt_embedding(sensor)
         use_params = params if params is not None else self.params

@@ -64,11 +64,13 @@ def build_sampler_kw(args, parser, argv):
 
     ddim_cached takes refresh_every / cache_level / forecast, plus an
     optional --refresh-mask 0/1 string (a searched schedule from
-    tools/schedule_search.py; the mask value is runtime data downstream —
-    `Pansharpener.sample` traces it as an argument, so redeploying with a
-    different schedule reuses the already-compiled program). Any caching
-    knob on a non-caching sampler is an error, not a silent no-op — same
-    contract as per-request guidance on non-CFG engines."""
+    tools/schedule_search.py). A deployment serves ONE schedule, so the
+    mask is baked into the compiled program (refresh_mask_static=True:
+    runs of full/reuse scans, no per-step branch — the traced-mask search
+    program pays a measured ~15% dispatch tax, BASELINE.md "Searched
+    refresh schedules"). Any caching knob on a non-caching sampler is an
+    error, not a silent no-op — same contract as per-request guidance on
+    non-CFG engines."""
     if args.sampler == "ddim_cached":
         kw = {"refresh_every": args.refresh_every,
               "cache_level": args.cache_level,
@@ -88,6 +90,7 @@ def build_sampler_kw(args, parser, argv):
                 parser.error("--refresh-mask and --forecast are mutually "
                              "exclusive")
             kw["refresh_mask"] = mask
+            kw["refresh_mask_static"] = True
         return kw
     if any(a.startswith(("--refresh-every", "--cache-level", "--forecast",
                          "--no-forecast", "--refresh-mask"))
