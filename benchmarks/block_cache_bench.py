@@ -80,7 +80,7 @@ def build(refresh_every: int, level: int = 1, forecast: bool = False,
 ROWS = os.environ.get("TMDIFF_BENCH_ROWS",
                       "1:1:0,2:1:0,4:1:0,2:2:0,4:2:0")
 jobs = []
-for row in ROWS.split(","):
+for row in (r for r in ROWS.split(",") if r):
     r, level, fc = (int(v) for v in row.split(":"))
     jobs.append((f"refresh_every={r} level={level} forecast={fc}",
                  build(r, level, bool(fc))))

@@ -274,15 +274,19 @@ def ddim_sample_blockcached(
     validates it eagerly on the host before tracing.
 
     A CONCRETE mask instead *specializes* the compiled program to that one
-    schedule: steps are grouped into runs of consecutive full / reuse calls
-    and each run is one `lax.scan` — no per-step `lax.cond`. The traced-mask
+    schedule: each refresh step opens a chunk (one full step + its trailing
+    reuse steps), and consecutive equal-length chunks roll into ONE
+    `lax.scan` of the same chunk-step body the uniform `refresh_every` path
+    uses — no per-step `lax.cond`, and a uniform mask compiles to the
+    identical single-scan program as `refresh_every`. The traced-mask
     program pays a measured ~15% per-step branch-dispatch tax over the
-    specialized one (BASELINE.md "Searched refresh schedules"), so searches
-    trace the mask (hundreds of schedules, one compile) while deployments
-    bake it in (one schedule, full speed). Compile cost scales with the
-    number of runs (one full + one reuse body per alternation), so a
-    clustered searched schedule compiles in a handful of bodies while the
-    pathological alternating mask degenerates to per-step bodies.
+    specialized one, and every extra top-level scan segment costs ~15 ms
+    (dispatch + lost cross-segment fusion — the earlier one-scan-per-run
+    form measured ~8% slower; BASELINE.md "Searched refresh schedules"), so
+    searches trace the mask (hundreds of schedules, one compile) while
+    deployments bake it in (one schedule, full speed). Compile cost scales
+    with the number of distinct chunk-length groups; a clustered searched
+    schedule compiles in a handful of bodies.
 
     `forecast=True` linearly extrapolates the trunk instead of reusing it
     stale (first-order feature forecasting — the "Predict to Skip" /
@@ -342,31 +346,44 @@ def ddim_sample_blockcached(
                 raise ValueError(
                     "refresh_mask[0] must be True — no cached trunk exists "
                     "yet")
-            # concrete mask → specialized program: one scan per run of
-            # consecutive full / reuse steps, no per-step branch
-            bounds = [0] + [i for i in range(1, steps)
-                            if mask[i] != mask[i - 1]] + [steps]
+            # concrete mask → specialized program: chunk decomposition.
+            # Each refresh step opens a chunk = [full, reuse × (len-1)];
+            # consecutive equal-length chunks roll into one scan of the
+            # refresh_every chunk-step body. Segment boundaries measured
+            # ~15 ms each, so fewer rolled segments beat one-scan-per-run
+            # (BASELINE.md "Searched refresh schedules").
+            starts = [i for i in range(steps) if mask[i]]
+            lens = [hi - lo for lo, hi in zip(starts, starts[1:] + [steps])]
 
-            def full_run(carry, ts):
-                x, deep = carry
-                t, s = ts
-                x0, deep = full_fn(x, jnp.full((b,), t, jnp.int32))
-                return (ddim_jump(ns, x, clip_x0(x0, clip_mode), t, s),
-                        deep), None
+            def chunk_group(x, chunk_pairs):
+                # chunk_pairs: (m, l, 2) — m chunks of l grid jumps each
+                def chunk_step(x, ts):
+                    t0, s0 = ts[0, 0], ts[0, 1]
+                    x0, deep = full_fn(x, jnp.full((b,), t0, jnp.int32))
+                    x = ddim_jump(ns, x, clip_x0(x0, clip_mode), t0, s0)
 
-            deep = deep_zeros()
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                run = pairs[lo:hi]
-                if mask[lo]:
-                    (x, deep), _ = jax.lax.scan(full_run, (x, deep), run)
-                else:
-                    def reuse_run(x, ts, deep=deep):
-                        t, s = ts
-                        x0 = reuse_fn(x, jnp.full((b,), t, jnp.int32), deep)
-                        return ddim_jump(ns, x, clip_x0(x0, clip_mode), t,
-                                         s), None
+                    def inner(x, ts_i):
+                        x0_i = reuse_fn(
+                            x, jnp.full((b,), ts_i[0], jnp.int32), deep)
+                        return ddim_jump(ns, x, clip_x0(x0_i, clip_mode),
+                                         ts_i[0], ts_i[1]), None
 
-                    x, _ = jax.lax.scan(reuse_run, x, run)
+                    if chunk_pairs.shape[1] > 1:
+                        x, _ = jax.lax.scan(inner, x, ts[1:])
+                    return x, None
+
+                x, _ = jax.lax.scan(chunk_step, x, chunk_pairs)
+                return x
+
+            i = 0
+            while i < len(lens):
+                j = i
+                while j < len(lens) and lens[j] == lens[i]:
+                    j += 1
+                hi = starts[j] if j < len(lens) else steps
+                x = chunk_group(
+                    x, pairs[starts[i]:hi].reshape(j - i, lens[i], 2))
+                i = j
             return x
 
         def mask_step(carry, xs):
