@@ -285,8 +285,10 @@ def ddim_sample_blockcached(
     form measured ~8% slower; BASELINE.md "Searched refresh schedules"), so
     searches trace the mask (hundreds of schedules, one compile) while
     deployments bake it in (one schedule, full speed). Compile cost scales
-    with the number of distinct chunk-length groups; a clustered searched
-    schedule compiles in a handful of bodies.
+    with the number of maximal runs of consecutive equal-length chunks (a
+    clustered searched schedule compiles in a handful of bodies); a
+    pathological alternating-length schedule (e.g. lens 2,3,2,3) still
+    compiles one scan body per chunk.
 
     `forecast=True` linearly extrapolates the trunk instead of reusing it
     stale (first-order feature forecasting — the "Predict to Skip" /

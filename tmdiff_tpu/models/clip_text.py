@@ -36,6 +36,8 @@ Export attempts (recorded per the parity protocol):
     mode), and README/PARITY carry no SAM/ERGAS-parity numbers. To close
     the gap on a networked machine:
     `python tools/export_clip_embeddings.py openai/clip-vit-large-patch14`.
+  * 2026-08-20 (r5): re-attempted — still no HF cache on disk and DNS
+    resolution for huggingface.co fails (zero egress). Same conclusion.
   * 2026-08-18 (r4): re-attempted — same OSError (no network, no cache).
     Placeholder-mode is now additionally stamped into every eval artifact
     (`clip_mode` key in .mat files and tool JSONs — `clip_mode()` below)
