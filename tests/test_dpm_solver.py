@@ -97,6 +97,27 @@ def test_adaptive_parity(env, order):
     )
 
 
+def test_adaptive_chunked_bitwise(env):
+    """Relay-safe chunked adaptive driver: splitting the while_loop into
+    bounded device dispatches (host continuation between segments) must not
+    change the computation — same body, same iteration sequence, carry
+    crosses segments untouched. Pinned bitwise vs the single-dispatch
+    form at an identical total `max_loops` budget."""
+    g, ns, x_T, cond, toy, toy_linear = env
+    wrapped = WrappedModel(toy_linear, model_type="noise")
+    solver = DPMSolver(wrapped, ns, algorithm_type="dpmsolver",
+                       correcting_x0_fn=None)
+    x_one, st_one = solver.sample_adaptive(
+        x_T, order=2, max_loops=500, return_stats=True)
+    # segment_loops=3 forces several host continuations
+    x_chunk, st_chunk = solver.sample_adaptive_chunked(
+        x_T, order=2, max_loops=500, segment_loops=3, return_stats=True)
+    assert int(st_chunk["steps_attempted"]) == int(st_one["steps_attempted"])
+    assert int(st_chunk["steps_accepted"]) == int(st_one["steps_accepted"])
+    assert int(st_one["steps_attempted"]) > 3  # continuation actually used
+    np.testing.assert_array_equal(np.asarray(x_one), np.asarray(x_chunk))
+
+
 def test_inverse_parity(env):
     """ODE inversion data → noise (`dpm_solver_pytorch.py:1065-1079`)."""
     g, ns, x_T, cond, toy, toy_linear = env

@@ -669,26 +669,13 @@ class DPMSolver:
             - (1.0 / r2) * (tsch.std(t) * phi_2) * (model_s2 - model_s)
         )
 
-    def sample_adaptive(self, x, order: int = 3,
-                        t_start: Optional[float] = None,
-                        t_end: Optional[float] = None,
-                        h_init: float = 0.05, atol: float = 0.0078,
-                        rtol: float = 0.05, theta: float = 0.9,
-                        t_err: float = 1e-5, max_loops: int = 500,
-                        return_stats: bool = False):
-        """Adaptive step-size singlestep solver
-        (`dpm_solver_adaptive:982-1044`): embedded order-(k−1)/k error
-        estimate, step accepted when the rms of (x_hi−x_lo)/δ ≤ 1, logSNR
-        step h ← min(θ·h·E^(−1/order), λ_0−λ_s).
+    def _adaptive_loop_fns(self, order, t_0, tsch, h_init, atol, rtol,
+                           theta, t_err):
+        """Build the (cond-maker, body) pair of the adaptive `while_loop`.
 
-        TPU-native: the whole loop is ONE `lax.while_loop` with traced time/
-        step-size state — no host round-trips, compiles once ('dpmsolver'
-        solver type, orders 2/3, like the reference). `max_loops` bounds
-        runaway rejection loops (the reference loops unboundedly)."""
-        assert order in (2, 3), "adaptive solver supports order 2 or 3"
-        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
-        t_T = self.ns.T if t_start is None else t_start
-        tsch = _TracedScheduleVP(self.ns)
+        Carry: (x, x_prev, s, h, n, n_acc). The cond is parameterised by a
+        *traced* loop bound so the chunked driver can reuse one compiled
+        segment for every continuation."""
         lambda_0 = tsch.lam(jnp.float32(t_0))
 
         def lower_and_higher(x, s, t):
@@ -705,9 +692,11 @@ class DPMSolver:
                 )
             return x_lower, x_higher
 
-        def cond(carry):
-            x, x_prev, s, h, n, n_acc = carry
-            return (jnp.abs(s - t_0) > t_err) & (n < max_loops)
+        def make_cond(loop_bound):
+            def cond(carry):
+                x, x_prev, s, h, n, n_acc = carry
+                return (jnp.abs(s - t_0) > t_err) & (n < loop_bound)
+            return cond
 
         def body(carry):
             x, x_prev, s, h, n, n_acc = carry
@@ -730,14 +719,99 @@ class DPMSolver:
             )
             return x, x_prev, s, h, n + 1, n_acc + accept.astype(jnp.int32)
 
+        return make_cond, body
+
+    def sample_adaptive(self, x, order: int = 3,
+                        t_start: Optional[float] = None,
+                        t_end: Optional[float] = None,
+                        h_init: float = 0.05, atol: float = 0.0078,
+                        rtol: float = 0.05, theta: float = 0.9,
+                        t_err: float = 1e-5, max_loops: int = 128,
+                        return_stats: bool = False):
+        """Adaptive step-size singlestep solver
+        (`dpm_solver_adaptive:982-1044`): embedded order-(k−1)/k error
+        estimate, step accepted when the rms of (x_hi−x_lo)/δ ≤ 1, logSNR
+        step h ← min(θ·h·E^(−1/order), λ_0−λ_s).
+
+        TPU-native: the whole loop is ONE `lax.while_loop` with traced time/
+        step-size state — no host round-trips, compiles once ('dpmsolver'
+        solver type, orders 2/3, like the reference). `max_loops` bounds
+        runaway rejection loops (the reference loops unboundedly). The
+        default is a deployment-safe 128 (~2 min worst-case device dispatch
+        at flagship shapes; typical runs accept well under that —
+        BASELINE.md r4 adaptive row): an unbounded-feeling 500 cap makes the
+        worst case one 4+ minute dispatch, which crashed the stdio-relay's
+        TPU worker outright (r4). Need a bigger budget on a fragile
+        transport? Use :meth:`sample_adaptive_chunked`, which reaches any
+        `max_loops` in bounded dispatches."""
+        assert order in (2, 3), "adaptive solver supports order 2 or 3"
+        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        tsch = _TracedScheduleVP(self.ns)
+        make_cond, body = self._adaptive_loop_fns(
+            order, t_0, tsch, h_init, atol, rtol, theta, t_err)
+
         s0 = jnp.float32(t_T)
         h0 = jnp.float32(h_init)
         x, _, _, _, n, n_acc = jax.lax.while_loop(
-            cond, body, (x, x, s0, h0, jnp.int32(0), jnp.int32(0))
+            make_cond(max_loops), body,
+            (x, x, s0, h0, jnp.int32(0), jnp.int32(0))
         )
         if return_stats:
             # NFE = n·order model evals; accepted/attempted step counts are
             # traced scalars — the benchmark row the r3 VERDICT asked for
+            return x, {"steps_attempted": n, "steps_accepted": n_acc}
+        return x
+
+    def sample_adaptive_chunked(self, x, order: int = 3,
+                                t_start: Optional[float] = None,
+                                t_end: Optional[float] = None,
+                                h_init: float = 0.05, atol: float = 0.0078,
+                                rtol: float = 0.05, theta: float = 0.9,
+                                t_err: float = 1e-5, max_loops: int = 500,
+                                segment_loops: int = 50,
+                                return_stats: bool = False):
+        """`sample_adaptive` with the `while_loop` split into bounded device
+        dispatches: one jitted segment runs at most `segment_loops` solver
+        iterations, then control returns to the host, which inspects the
+        (scalar) time/loop state and re-dispatches until t_0 is reached or
+        `max_loops` total iterations are spent. Bitwise-identical to the
+        single-dispatch form (same loop body, same iteration sequence; the
+        carry crosses segments untouched — pinned by
+        tests/test_dpm_solver.py::test_adaptive_chunked_bitwise).
+
+        This is the relay-safe way to run large step budgets: each dispatch
+        is bounded (~segment_loops · order · per-eval cost), so a transport
+        that kills long-running device calls (the dev tunnel's stdio relay,
+        CLAUDE.md) never sees the 4+ minute worst case that crashed it at
+        `max_loops=500` single-dispatch. Host round-trips cost two scalar
+        fetches per segment (~60 ms on the relay) — negligible against a
+        multi-second segment. NOT jit-compatible (host control flow); call
+        it un-traced, or use `sample_adaptive` inside larger jits."""
+        assert order in (2, 3), "adaptive solver supports order 2 or 3"
+        assert segment_loops >= 1
+        t_0 = 1.0 / self.ns.total_N if t_end is None else t_end
+        t_T = self.ns.T if t_start is None else t_start
+        tsch = _TracedScheduleVP(self.ns)
+        make_cond, body = self._adaptive_loop_fns(
+            order, t_0, tsch, h_init, atol, rtol, theta, t_err)
+
+        @jax.jit
+        def segment(carry, loop_bound):
+            # loop_bound is traced -> ONE compile serves every continuation
+            return jax.lax.while_loop(make_cond(loop_bound), body, carry)
+
+        carry = (x, x, jnp.float32(t_T), jnp.float32(h_init),
+                 jnp.int32(0), jnp.int32(0))
+        while True:
+            s_now = float(carry[2])
+            n_now = int(carry[4])
+            if abs(s_now - t_0) <= t_err or n_now >= max_loops:
+                break
+            carry = segment(
+                carry, jnp.int32(min(n_now + segment_loops, max_loops)))
+        x, _, _, _, n, n_acc = carry
+        if return_stats:
             return x, {"steps_attempted": n, "steps_accepted": n_acc}
         return x
 
