@@ -56,6 +56,56 @@ class TestPrefetcher:
             next(pf)
 
 
+class TestDeviceFeeder:
+    """The CLI train-loop feeder (runtime/prefetch.py::DeviceFeeder): host
+    assembly off-thread + one-ahead staging must preserve the exact batch
+    sequence (bit-reproducible training) and respect the serial mode."""
+
+    def test_order_and_one_ahead(self):
+        from tmdiff_tpu.runtime.prefetch import DeviceFeeder
+
+        staged = []
+        feeder = DeviceFeeder(iter(range(10)), lambda x: (staged.append(x), x)[1],
+                              depth=2)
+        out = [next(feeder) for _ in range(5)]
+        assert out == list(range(5))
+        # one item staged ahead of what was consumed
+        assert staged[: len(out) + 1] == list(range(len(out) + 1))
+        feeder.close()
+
+    def test_serial_mode_stages_lazily(self):
+        from tmdiff_tpu.runtime.prefetch import DeviceFeeder
+
+        staged = []
+        feeder = DeviceFeeder(iter(range(10)), lambda x: (staged.append(x), x)[1],
+                              depth=0, ahead=False)
+        assert next(feeder) == 0
+        assert staged == [0]  # nothing pre-staged: the old serial loop
+        feeder.close()
+
+    def test_mixer_sequence_identical_to_unwrapped(self):
+        """Same seeds => the feeder consumes exactly the sequence the bare
+        mixer would produce (prefetch cannot change training data order)."""
+        from tmdiff_tpu.data import BatchIterator, PanDataset, SensorMixer
+        from tmdiff_tpu.data.synthetic import make_arrays
+        from tmdiff_tpu.runtime.prefetch import DeviceFeeder
+
+        def build():
+            return SensorMixer({
+                "QB": BatchIterator(PanDataset(make_arrays(6, size=8, seed=1)), 2),
+                "WV3": BatchIterator(PanDataset(make_arrays(6, size=8, seed=2)), 2),
+            }, seed=0)
+
+        bare = build()
+        ref = [next(bare) for _ in range(10)]
+        feeder = DeviceFeeder(build(), lambda item: item, depth=2)
+        got = [next(feeder) for _ in range(10)]
+        feeder.close()
+        for (b0, s0), (b1, s1) in zip(ref, got):
+            assert s0 == s1
+            np.testing.assert_array_equal(b0["Res"], b1["Res"])
+
+
 def test_prefetcher_wraps_mixer():
     """Prefetcher composes with the sensor-mixing pipeline."""
     from tmdiff_tpu.data import BatchIterator, PanDataset, SensorMixer

@@ -103,6 +103,40 @@ def build_datasets(opt, phase):
     return mixer, val_sets
 
 
+def make_feeder(mixer, sharp, trainer, train_opt):
+    """Async input pipeline for the train/distill loops: host batch assembly
+    (h5 slicing + C++ gather) on a worker thread, sharded `device_put` one
+    batch ahead, per-sensor prompt embeddings staged on device once. The
+    reference gets this from DataLoader worker processes + pinned H2D
+    (`data/__init__.py:9-16`, `utils/util.py:158-161`); `train.prefetch = 0`
+    reproduces the old fully-serial loop (the A/B baseline). The consumed
+    batch sequence is identical either way (prefetching preserves order)."""
+    import jax
+
+    from tmdiff_tpu.parallel import mesh as mesh_lib
+    from tmdiff_tpu.runtime.prefetch import DeviceFeeder
+
+    emb_cache = {}
+
+    def stage(item):
+        batch, sensor = item
+        emb = emb_cache.get(sensor)
+        if emb is None:
+            emb = jax.device_put(
+                np.asarray(sharp.prompt_embedding(sensor)),
+                mesh_lib.replicated(trainer.mesh),
+            )
+            emb_cache[sensor] = emb
+        dev = mesh_lib.shard_batch(
+            trainer.mesh, {k: batch[k] for k in ("Res", "PAN", "MS")}
+        )
+        return dev, emb, len(batch["Res"])
+
+    depth_opt = train_opt.get("prefetch")
+    depth = 2 if depth_opt is None else int(depth_opt)
+    return DeviceFeeder(mixer, stage, depth=depth, ahead=depth > 0)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
@@ -294,28 +328,33 @@ def _run(args, opt, stop):
 
         last_print = (_time.monotonic(), current_step)
         last_saved = current_step  # resume point (or 0) is already on disk
-        while current_step < max_iter and not stop["flag"]:
-            batch, sensor = next(mixer)
-            emb = np.asarray(sharp.prompt_embedding(sensor))
-            state, metrics = trainer.train_step(state, batch, emb)
-            current_step += 1
-            if current_step % print_freq == 0:
-                now = _time.monotonic()
-                dt, dsteps = now - last_print[0], current_step - last_print[1]
-                last_print = (now, current_step)
-                rate = (dsteps * len(batch["Res"]) / dt) if dt > 0 else 0.0
-                logger.info(
-                    f"step {current_step} "
-                    + " ".join(f"{k}: {float(v):.3e}" for k, v in metrics.items())
-                    + f" img/s: {rate:.1f}"
-                )
-            if current_step % val_freq == 0:
-                run_validation(state)
-                ckpt_lib.save_checkpoint(
-                    opt["path"]["checkpoint"], state,
-                    keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
-                )
-                last_saved = current_step
+        feeder = make_feeder(mixer, sharp, trainer, train_opt)
+        try:
+            while current_step < max_iter and not stop["flag"]:
+                dev_batch, emb, bsz = next(feeder)
+                state, metrics = trainer.train_step(state, dev_batch, emb)
+                current_step += 1
+                if current_step % print_freq == 0:
+                    now = _time.monotonic()
+                    dt = now - last_print[0]
+                    dsteps = current_step - last_print[1]
+                    last_print = (now, current_step)
+                    rate = (dsteps * bsz / dt) if dt > 0 else 0.0
+                    logger.info(
+                        f"step {current_step} "
+                        + " ".join(f"{k}: {float(v):.3e}"
+                                   for k, v in metrics.items())
+                        + f" img/s: {rate:.1f}"
+                    )
+                if current_step % val_freq == 0:
+                    run_validation(state)
+                    ckpt_lib.save_checkpoint(
+                        opt["path"]["checkpoint"], state,
+                        keep=train_opt.get("ckpt_keep"),  # None = keep all (ref)
+                    )
+                    last_saved = current_step
+        finally:
+            feeder.close()
         if current_step != last_saved:
             # normal completion (or preemption) between val boundaries: the
             # final state must still land on disk — a max_iter not divisible
@@ -364,60 +403,65 @@ def _run(args, opt, stop):
         logger.info(f"Begin progressive distillation: phases={phases} "
                     f"steps_per_phase={steps_per_phase} from step "
                     f"{int(state.step)} {teacher_kind} teacher")
-        for n in phases:
-            if stop["flag"]:
-                break
-            done_steps = 0
-            d_trainer = DistillTrainer(
-                model=model, schedule=schedule, n_student_steps=n,
-                lr=float(d_opt.get("lr") or 1e-4), warmup_steps=20,
-                max_iter=steps_per_phase,
-                loss_type=trainer.loss_type, mesh=trainer.mesh,
-            )
-            p_state = d_trainer.state_from_params(teacher)
-            t_dev = jax.device_put(
-                teacher, mesh_lib.replicated(d_trainer.mesh))
-            for k in range(steps_per_phase):
+        feeder = make_feeder(mixer, sharp, trainer, train_opt)
+        try:
+            for n in phases:
                 if stop["flag"]:
                     break
-                batch, sensor = next(mixer)
-                emb = np.asarray(sharp.prompt_embedding(sensor))
-                p_state, m = d_trainer.train_step(p_state, batch, emb, t_dev)
-                done_steps = k + 1
-                if (k + 1) % print_freq == 0:
-                    logger.info(f"distill N={n} step {k + 1} "
-                                f"l_distill: {float(m['l_pix']):.3e}")
-            # the phase EMA is teacher-seeded and barely moves over a short
-            # phase (0.9999^600 ≈ 94% teacher) — persist the STUDENT in both
-            # weight slots so --use-ema consumers can't silently deploy the
-            # teacher through a few-step sampler it was never distilled for
-            p_state = p_state.replace(ema_params=jax.tree.map(
-                lambda x: x.copy(), p_state.params))
-            if stop["flag"] and done_steps < steps_per_phase:
-                # preempted mid-phase: label the artifact as partial and skip
-                # validation (a multi-minute sampler compile has no place in
-                # the preemption grace window). Distill restarts re-run the
-                # chain from path.resume — the partial student is evidence,
-                # not a resume point.
+                done_steps = 0
+                d_trainer = DistillTrainer(
+                    model=model, schedule=schedule, n_student_steps=n,
+                    lr=float(d_opt.get("lr") or 1e-4), warmup_steps=20,
+                    max_iter=steps_per_phase,
+                    loss_type=trainer.loss_type, mesh=trainer.mesh,
+                )
+                p_state = d_trainer.state_from_params(teacher)
+                t_dev = jax.device_put(
+                    teacher, mesh_lib.replicated(d_trainer.mesh))
+                for k in range(steps_per_phase):
+                    if stop["flag"]:
+                        break
+                    dev_batch, emb, _ = next(feeder)
+                    p_state, m = d_trainer.train_step(
+                        p_state, dev_batch, emb, t_dev)
+                    done_steps = k + 1
+                    if (k + 1) % print_freq == 0:
+                        logger.info(f"distill N={n} step {k + 1} "
+                                    f"l_distill: {float(m['l_pix']):.3e}")
+                # the phase EMA is teacher-seeded and barely moves over a short
+                # phase (0.9999^600 ≈ 94% teacher) — persist the STUDENT in both
+                # weight slots so --use-ema consumers can't silently deploy the
+                # teacher through a few-step sampler it was never distilled for
+                p_state = p_state.replace(ema_params=jax.tree.map(
+                    lambda x: x.copy(), p_state.params))
+                if stop["flag"] and done_steps < steps_per_phase:
+                    # preempted mid-phase: label the artifact as partial and skip
+                    # validation (a multi-minute sampler compile has no place in
+                    # the preemption grace window). Distill restarts re-run the
+                    # chain from path.resume — the partial student is evidence,
+                    # not a resume point.
+                    path = ckpt_lib.save_checkpoint(
+                        os.path.join(opt["path"]["checkpoint"],
+                                     f"distill_N{n}_partial"),
+                        p_state,
+                    )
+                    logger.info(
+                        f"Preemption signal: phase N={n} stopped at step "
+                        f"{done_steps}/{steps_per_phase}; PARTIAL student "
+                        f"checkpointed to {path}, validation skipped")
+                    break
+                teacher = p_state.params
                 path = ckpt_lib.save_checkpoint(
-                    os.path.join(opt["path"]["checkpoint"],
-                                 f"distill_N{n}_partial"),
+                    os.path.join(opt["path"]["checkpoint"], f"distill_N{n}"),
                     p_state,
                 )
-                logger.info(
-                    f"Preemption signal: phase N={n} stopped at step "
-                    f"{done_steps}/{steps_per_phase}; PARTIAL student "
-                    f"checkpointed to {path}, validation skipped")
-                break
-            teacher = p_state.params
-            path = ckpt_lib.save_checkpoint(
-                os.path.join(opt["path"]["checkpoint"], f"distill_N{n}"),
-                p_state,
-            )
-            logger.info(f"distill N={n} done -> {path}")
-            # score the STUDENT params (use_ema=False belt-and-braces even
-            # though ema_params now also hold the student)
-            run_validation(p_state, method="ddim", steps=n, use_ema=False)
+                logger.info(f"distill N={n} done -> {path}")
+                # score the STUDENT params (use_ema=False belt-and-braces even
+                # though ema_params now also hold the student)
+                run_validation(p_state, method="ddim", steps=n, use_ema=False)
+
+        finally:
+            feeder.close()
     else:
         logger.info("Begin Model Evaluation.")
         run_validation(state)
