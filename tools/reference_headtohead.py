@@ -118,6 +118,9 @@ def main(argv=None):
     p.add_argument("--channels", default="16,32,64,128")
     p.add_argument("--ours", default=None,
                    help="train_convergence JSON to tabulate against")
+    p.add_argument("--seed", type=int, default=3407,
+                   help="torch/np/random training seed (r5 parity sweep: "
+                        "the reference side was single-seed until now)")
     args = p.parse_args(argv)
 
     # tmdiff_tpu imports pull jax in transitively; keep it off the TPU
@@ -154,9 +157,9 @@ def main(argv=None):
     from torch.utils.data import DataLoader
     from transformers import get_scheduler
 
-    torch.manual_seed(3407)
-    np.random.seed(3407)  # p_losses_dynamic draws t via np.random
-    random.seed(3407)     # sensor mixing
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)  # p_losses_dynamic draws t via np.random
+    random.seed(args.seed)     # sensor mixing
     torch.set_num_threads(max(1, os.cpu_count()))
 
     channels = [int(c) for c in args.channels.split(",")]
@@ -223,6 +226,7 @@ def main(argv=None):
     results = {"config": {"channels": channels, "steps": args.steps,
                           "size": args.size, "timesteps": args.timesteps,
                           "lr": args.lr, "batch": args.batch,
+                          "seed": args.seed,
                           "sampler": "reference sample_by_dpmsolver "
                                      "(30-step singlestep order-3 logSNR)"}}
     from tmdiff_tpu.models.clip_text import clip_mode
