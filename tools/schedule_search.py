@@ -32,6 +32,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def segment_count(mask) -> int:
+    """Compiled top-level scan segments of the static-specialized program
+    for `mask` (`gaussian.py` concrete-mask path): chunks = maximal runs of
+    [refresh, reuse…]; consecutive equal-length chunks roll into ONE scan,
+    so the program has one segment per maximal run of equal chunk lengths.
+    Each extra segment costs ~15 ms/sample-batch at flagship shapes
+    (BASELINE.md 'Searched refresh schedules')."""
+    starts = [i for i, m in enumerate(mask) if m]
+    if not starts:
+        return 0
+    lens = [b - a for a, b in zip(starts, starts[1:] + [len(mask)])]
+    return 1 + sum(1 for a, b in zip(lens, lens[1:]) if a != b)
+
+
 def uniform_mask(steps: int, budget: int):
     """Budget refreshes spread evenly over `steps` steps (first always on)."""
     import numpy as np
@@ -60,6 +74,13 @@ def main(argv=None):
     p.add_argument("--min-budget", type=int, default=5,
                    help="stop when this many refreshes remain")
     p.add_argument("--sensors", default="QB,WV3")
+    p.add_argument("--form-tol", type=float, default=0.0,
+                   help="program-form regularisation: among candidate drops "
+                        "within this much mean-SAM of the round's best, "
+                        "prefer the mask compiling to the fewest scan "
+                        "segments (r5: each segment boundary costs ~15 ms "
+                        "at deploy time — see segment_count). 0 keeps the "
+                        "pure-quality r4 behaviour")
     args = p.parse_args(argv)
 
     import jax
@@ -132,18 +153,23 @@ def main(argv=None):
     print(f"all-True (= plain ddim): obj {obj_full:.5f}", flush=True)
 
     path = {steps: {"mask": list(mask), "objective": obj_full,
-                    "scores": per_full}}
+                    "scores": per_full,
+                    "segments": segment_count(mask)}}
     while sum(mask) > args.min_budget:
-        best = None
+        cands = []
         for i in range(1, steps):
             if not mask[i]:
                 continue
             cand = list(mask)
             cand[i] = False
             obj, per = evaluate(tuple(cand))
-            if best is None or obj < best[0]:
-                best = (obj, i, per)
-        obj, drop, per = best
+            cands.append((obj, segment_count(cand), i, per))
+        best_obj = min(c[0] for c in cands)
+        # program-form tie-break: among quality-tied drops take the fewest
+        # compiled segments (then lowest objective)
+        obj, segs, drop, per = min(
+            (c for c in cands if c[0] <= best_obj + args.form_tol),
+            key=lambda c: (c[1], c[0]))
         mask[drop] = False
         budget = sum(mask)
         # uniform control at the same budget, same compiled program
@@ -151,11 +177,13 @@ def main(argv=None):
         obj_uni, per_uni = evaluate(uni)
         path[budget] = {
             "mask": list(mask), "objective": obj, "scores": per,
+            "segments": segs, "best_objective_unregularised": best_obj,
             "uniform_mask": list(uni), "uniform_objective": obj_uni,
             "uniform_scores": per_uni,
         }
         print(f"budget {budget}: dropped step {drop}, obj {obj:.5f} "
-              f"(uniform {obj_uni:.5f})", flush=True)
+              f"segs {segs} (round best {best_obj:.5f}, uniform "
+              f"{obj_uni:.5f})", flush=True)
 
     results = {"step": int(state.step), "clip_mode": clip_mode(),
                "steps": steps, "cache_level": args.cache_level,
