@@ -65,6 +65,13 @@ def test_bandlanes_heuristic():
     # headline 31.5 vs 30.0 steps/s — BASELINE.md r4 auto-rule A/B)
     assert not _bandlanes_wins(d=8, kd=3, cout=64)
     assert not _bandlanes_wins(d=16, kd=3, cout=64)
+    # r5: the native exclusion is resolution-gated — at H=256 (big config
+    # level 0) the FULL-MODEL A/B favours bandlanes (10.35 vs 10.11
+    # steps/s) even though the isolated conv favours native; h<=128 keeps
+    # the r4 flagship routing, h unknown (0) stays r4-compatible
+    assert not _bandlanes_wins(d=8, kd=3, cout=64, h=128)
+    assert _bandlanes_wins(d=8, kd=3, cout=64, h=256)
+    assert not _bandlanes_wins(d=8, kd=3, cout=64, h=0)
 
 
 def test_modulated_equals_scaling(rng):

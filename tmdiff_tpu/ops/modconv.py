@@ -97,8 +97,17 @@ AUTO_NATIVE_COUTS = frozenset(
     int(c) for c in os.environ.get("TMDIFF_CONV3D_AUTO_NATIVE", "").split(",")
     if c.strip())
 
+# Symmetric A/B hook: Couts forced BACK to bandlanes under auto even where
+# the deep-band native exclusion matches (e.g. TMDIFF_CONV3D_AUTO_BANDLANES=64
+# reproduces the r3 routing of the big config's C64 level — the r5 full-model
+# A/B that settled the 10.36-vs-10.09 question, BASELINE.md r5).
+AUTO_BANDLANES_COUTS = frozenset(
+    int(c) for c in os.environ.get(
+        "TMDIFF_CONV3D_AUTO_BANDLANES", "").split(",")
+    if c.strip())
 
-def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
+
+def _bandlanes_wins(d: int, kd: int, cout: int, h: int = 0) -> bool:
     """Empirical win rule for the band-into-lanes lowering, from the v5e A/B
     grid in BASELINE.md: every lane-starved level (Cout < 128) wins — the
     D/kd FLOP blow-up is repaid by full 128-lane MXU tiles PLUS skipping the
@@ -106,12 +115,20 @@ def _bandlanes_wins(d: int, kd: int, cout: int) -> bool:
     3.6×/1.9× @4-band for C=32/64). At Cout ≥ 128 there is no lane gain and
     the FLOP blow-up is a pure loss; 1-tap (kd=1) convs have no depth
     coupling to amortise. r4 re-measure: at deep-band half-lane levels
-    (d ≥ 8 AND cout ≥ 64) XLA's native 3-D conv is now faster than paying
-    bandlanes' d/kd ≥ 2.67× inflation (isolated 5.09 vs 5.36 ms at
-    C64·D8@128²; full-model headline 31.5 vs 30.0 steps/s) — and it is the
-    SPMD-exact-everywhere lowering, so auto routes those levels native."""
+    (d ≥ 8 AND cout ≥ 64) XLA's native 3-D conv is faster at H ≤ 128
+    (isolated 5.09 vs 5.36 ms at C64·D8@128²; full-model headline 31.5 vs
+    30.0 steps/s) — and it is the SPMD-exact-everywhere lowering, so auto
+    routes those levels native. r5 per-shape re-measure (BASELINE.md r5
+    "conv auto-rule"): the native routing is resolution-dependent IN
+    CONTEXT — at C64·D8@**256²** (the big config's level-0 shape) the
+    ISOLATED conv still favours native (0.91-0.92×) but the FULL MODEL runs
+    10.35 steps/s with bandlanes vs 10.11 native (fusion-context effect:
+    the 2-D bandlanes form fuses with the surrounding modulate/add/swish
+    where the native 3-D conv's layout does not). The native exclusion is
+    therefore gated on h ≤ 128; h=0 (unknown) keeps the r4 behaviour."""
+    native_excl = (d >= 8 and cout >= 64 and (h == 0 or h <= 128))
     return (kd > 1 and d > 1 and cout < 128
-            and not (d >= 8 and cout >= 64)
+            and (cout in AUTO_BANDLANES_COUTS or not native_excl)
             and cout not in AUTO_NATIVE_COUTS)
 
 
@@ -246,7 +263,7 @@ def conv3d(x: jax.Array, kernel: jax.Array, *, padding="SAME", stride=(1, 1, 1))
                 return banded.banded_conv3d(x, kernel)
             impl = "auto"  # ineligible shape: fall through to the auto rule
         if impl == "auto":
-            if _bandlanes_wins(d, kd, cout):
+            if _bandlanes_wins(d, kd, cout, x.shape[2]):
                 # NOT bandtiles: in isolation it beats bandlanes 13% at
                 # Cout=64 (1.33× vs 2.67× FLOPs at full lanes), but in the
                 # full model the headline DROPS 29.7 vs 30.1 — the per-tile
