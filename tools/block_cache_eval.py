@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--variants", default="base",
-                   choices=["base", "forecast", "masks"])
+                   choices=["base", "forecast", "masks", "level3"])
     args = p.parse_args(argv)
 
     import jax
@@ -81,6 +81,13 @@ def main(argv=None):
                              "cache_level": 2}),
             ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
                              "cache_level": 2})]
+    elif args.variants == "level3":  # the deploy-relevant subset (r5 big run)
+        variants = [
+            ("ddim", {"steps": args.steps}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 2,
+                             "cache_level": 3}),
+            ("ddim_cached", {"steps": args.steps, "refresh_every": 4,
+                             "cache_level": 3})]
     elif args.variants == "forecast":  # level-3 trunk + forecasting (r4b)
         variants = [
             ("ddim", {"steps": args.steps}),
