@@ -139,10 +139,18 @@ def main(argv=None):
     tx = optax.adamw(hf_linear_schedule(args.lr, 100, args.base_steps),
                      weight_decay=1e-4)
 
+    # remat both train forwards: halves activation HBM AND restructures the
+    # backward HLO so the dev tunnel's remote compiler doesn't SIGILL (the
+    # r2 finding that made Trainer default remat=True — confirmed again
+    # here r5: the un-remat'ed base backward SIGILLs, remat'ed compiles)
     def base_apply(params):
+        @jax.checkpoint
+        def fwd(p, x_t, t, pan, ms):
+            return base.apply({"params": p}, x_t, t, pan, ms, emb)
+
         def fn(x_t, t, pan, ms, res, r_idx):
             del res, r_idx
-            return base.apply({"params": params}, x_t, t, pan, ms, emb)
+            return fwd(params, x_t, t, pan, ms)
         return fn
 
     @jax.jit
@@ -208,11 +216,15 @@ def main(argv=None):
          "freeze": optax.set_to_zero()}, labels)
 
     def ctrl_apply(params):
+        @jax.checkpoint
+        def fwd(p, x_t, t, pan, ms, hint):
+            return ctrl.apply({"params": p}, x_t, t, pan, ms, emb,
+                              hint=hint, task_id=tid, task_feat=tfeat)
+
         def fn(x_t, t, pan, ms, res, r_idx):
             # fresh hint noise each step (r_idx is the step's gather key)
             hint = make_hint(res, jax.random.fold_in(r_idx, 1))
-            return ctrl.apply({"params": params}, x_t, t, pan, ms, emb,
-                              hint=hint, task_id=tid, task_feat=tfeat)
+            return fwd(params, x_t, t, pan, ms, hint)
         return fn
 
     @jax.jit
