@@ -12,12 +12,19 @@ driver closes that gap with a synthetic hint task, end to end:
      `init_control_from_base`) and score the UNTRAINED adapter: by the
      zero-init identity its val metrics must equal the base's EXACTLY;
   3. fine-tune ONLY the control branch (sd_locked `trainable_labels` +
-     optax.multi_transform) with an information-bearing hint — a noisy
-     copy of the first 3 GT-residual bands, standing in for an auxiliary
-     high-res instrument channel (the UniControl tasks' role,
-     `/root/reference/utils/cldm_unicontrol.py:364-424`);
-  4. score the trained adapter: val SAM/ERGAS must beat the no-hint base
-     (the hint carries information the base physically cannot have).
+     optax.multi_transform) with an information-bearing hint. Task design
+     matters: a first r5 attempt used a noisy copy of 3 residual bands and
+     the adapter learned NOTHING (l_pix flat at any LR) because on these
+     synthetic scenes (pan, ms) already nearly determines gt — the hint
+     held no NEW information. The task is therefore **sensor-failure
+     inpainting**: the first `--dead-bands` MS bands are zeroed out of
+     EVERY conditioning input (a dead detector), so their spectra are
+     genuinely underdetermined from (pan, ms); the hint is a noisy copy of
+     what the dead bands should read (an auxiliary instrument — the
+     UniControl tasks' role, `/root/reference/utils/cldm_unicontrol.py:
+     364-424`);
+  4. score the trained adapter: val SAM/ERGAS must beat the no-hint base,
+     which cannot know the dead bands' spectral content.
 
 Protocol mirrors tools/train_convergence.py: data stays ON DEVICE (batches
 are gathered inside the jitted step — no per-step H2D through the relay),
@@ -47,10 +54,19 @@ def main(argv=None):
     p.add_argument("--channels", default="32,64,128,256")
     p.add_argument("--timesteps", type=int, default=500)
     p.add_argument("--base-steps", type=int, default=1500)
-    p.add_argument("--ctrl-steps", type=int, default=1000)
+    p.add_argument("--ctrl-steps", type=int, default=2000)
+    p.add_argument("--ctrl-lr", type=float, default=5e-4,
+                   help="control-branch fine-tune LR. The zero-init'ed "
+                        "adapter path needs a hotter LR than the base "
+                        "(r5 measured: 1e-4 x 1000 steps moves nothing; "
+                        "ControlNet's 'sudden convergence' needs budget)")
     p.add_argument("--sample-steps", type=int, default=10)
     p.add_argument("--lr", type=float, default=2e-4)
-    p.add_argument("--hint-noise", type=float, default=0.05)
+    p.add_argument("--hint-noise", type=float, default=0.01)
+    p.add_argument("--dead-bands", type=int, default=3,
+                   help="zero this many leading MS bands from all "
+                        "conditioning (the sensor-failure task); the hint "
+                        "carries their ground truth")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -86,23 +102,41 @@ def main(argv=None):
 
     def stage(split_seed, n):
         d = make_arrays(n, bands=D, size=S, seed=split_seed)
-        res = (d["gt"] - d["lms"]).astype(np.float32)
+        gt = d["gt"].astype(np.float32).copy()
+        # Per-scene random spectral gains on the dead bands: decorrelated
+        # from every live input, so their amplitude is GENUINELY
+        # unknowable from (pan, ms) — without this, the synthetic bands
+        # are so cross-correlated the base infers dead bands from live
+        # ones and the hint holds no new information (r5 measured: flat
+        # val SAM at any fine-tune budget).
+        g_rng = np.random.default_rng(split_seed + 555)
+        # gains stay <= 1: the sampler clips x0_hat to [-1,1] and the
+        # metrics clip images to [0,1], so amplification (>1) information
+        # would be destroyed downstream of the model (r5 measured: train
+        # loss halves while val SAM stays flat — the clip eats the win)
+        gains = g_rng.uniform(0.35, 1.0,
+                              (n, args.dead_bands, 1, 1)).astype(np.float32)
+        gt[:, :args.dead_bands] *= gains
+        lms = d["lms"].astype(np.float32).copy()
+        lms[:, :args.dead_bands] = 0.0  # dead detector: no MS for these
+        res = gt - lms
         pan = np.repeat(d["pan"], D, axis=1).astype(np.float32)
         return {
             "res": jnp.asarray(res),
             "pan": jnp.asarray(pan),
-            "ms": jnp.asarray(d["lms"].astype(np.float32)),
-            "gt": d["gt"].astype(np.float32),
-            "lms": d["lms"].astype(np.float32),
+            "ms": jnp.asarray(lms),
+            "gt": gt,
+            "lms": lms,
         }
 
     train_d = stage(args.seed, args.scenes)
     val_d = stage(args.seed + 1000, args.val_scenes)
 
-    # hint = noisy copy of the first 3 residual bands, (B, H, W, 3): real
-    # information about the answer that the (pan, ms) conditioning lacks
+    # hint = noisy copy of what the dead bands should read, (B, H, W, k):
+    # information that exists NOWHERE in the degraded (pan, ms) inputs.
+    # (res bands :k equal gt bands :k here since their lms is zeroed.)
     def make_hint(res, key):
-        h = jnp.transpose(res[:, :3], (0, 2, 3, 1))
+        h = jnp.transpose(res[:, :args.dead_bands], (0, 2, 3, 1))
         return h + args.hint_noise * jax.random.normal(key, h.shape)
 
     hint_key = jax.random.key(args.seed + 7)
@@ -212,7 +246,8 @@ def main(argv=None):
     labels = trainable_labels(cp, sd_locked=True)
     ctx = optax.multi_transform(
         {"train": optax.adamw(
-            hf_linear_schedule(1e-4, 50, args.ctrl_steps), weight_decay=1e-4),
+            hf_linear_schedule(args.ctrl_lr, 50, args.ctrl_steps),
+            weight_decay=1e-4),
          "freeze": optax.set_to_zero()}, labels)
 
     def ctrl_apply(params):
